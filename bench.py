@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: single-chip POTRF GFlop/s vs matmul roofline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Methodology mirrors the reference's miniapp protocol
+(``miniapp/miniapp_cholesky.cpp:128-190``): warmup + timed runs, GFlop/s =
+total_ops(n^3/6 adds, n^3/6 muls) / t.  ``vs_baseline`` is the fraction of
+the driver-set target: 85% of the single-chip matmul roofline measured at the
+same dtype/precision (BASELINE.json), so vs_baseline >= 1.0 beats the target.
+
+Timing note: on this tunneled TPU platform ``block_until_ready`` does not
+synchronize and a device->host fetch carries seconds of relay overhead, so we
+use slope timing: dispatch K in-order executions, fetch one scalar from the
+last (device executes queued programs in order), and difference two K values
+to cancel the constant fetch/dispatch overhead.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _slope_time(fn, arg, k_lo=1, k_hi=9, reps=3):
+    """Seconds per execution of fn(arg), overhead-cancelled."""
+    def timed(k):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(k):
+            r = fn(arg)
+        jnp.asarray(r).ravel()[0].item()  # force full in-order execution
+        return time.perf_counter() - t0
+
+    timed(1)  # compile + warm
+    t_lo = min(timed(k_lo) for _ in range(reps))
+    t_hi = min(timed(k_hi) for _ in range(reps))
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
+def main():
+    from dlaf_tpu import DistMatrix, cholesky_factorization, total_ops
+    from dlaf_tpu.matrix import util as mu
+    from dlaf_tpu.tune import set_tune_parameters
+
+    dtype = jnp.float32
+    n, nb = 8192, 1024
+    set_tune_parameters(matmul_precision="highest")
+
+    a = mu.random_hermitian_positive_definite(n, np.float32, seed=0)
+    mat = DistMatrix.from_natural(jnp.asarray(a, dtype), nb)
+
+    chol = jax.jit(lambda d: cholesky_factorization(mat.with_data(d)).data)
+    t = _slope_time(chol, mat.data)
+    flops = total_ops(dtype, n ** 3 / 6, n ** 3 / 6)
+    gflops = flops / t / 1e9
+
+    # matmul roofline at the same dtype/precision
+    x = jnp.asarray(mu.random(2048, 2048, np.float32, 1), dtype)
+    mm = jax.jit(lambda u: jnp.matmul(u, u, precision="highest") * 1e-3)
+    tmm = _slope_time(mm, x, k_hi=33)
+    mm_gflops = 2 * 2048 ** 3 / tmm / 1e9
+
+    target = 0.85 * mm_gflops
+    print(json.dumps({
+        "metric": f"POTRF fp32(highest) n={n} nb={nb} single-chip",
+        "value": round(gflops, 2),
+        "unit": "GFlop/s",
+        "vs_baseline": round(gflops / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Distributed triangular solve (TRSM), all side/uplo/op/diag variants.
+
+TPU-native re-design of the reference's ``solver/triangular/impl.h`` (all 8
+Left/Right x Upper/Lower x N/T/C variants, local + distributed,
+``solver/triangular.h:31+``).  Left variants run natively as forward/backward
+block substitution:
+
+* per block-row ``k``: broadcast the diagonal tile, solve the ``B_k`` row
+  strip on its owner grid-row, broadcast it down columns;
+* the A panel reaches the update ranks either directly (column strips travel
+  along grid rows with row-sets already aligned) or through one natural-order
+  masked all-reduce (row strips must cross the diagonal — the analogue of the
+  reference's transposed panel broadcast);
+* the trailing update is one rank-local matmul per step on the contiguous
+  local row suffix/prefix.
+
+Right variants reduce to Left via the adjoint identity
+``X op(A) = alpha B  <=>  op(A)^H X^H = conj(alpha) B^H`` (one distributed
+transpose each way — native right kernels are a later optimization).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ...matrix.matrix import DistMatrix
+from ...ops import tile
+from ...parallel.comm import LocalComm, make_comm
+from ...parallel.spmd import (gather_my_cols, global_row_index,
+                              scatter_cols_to_natural)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _trsm_left_kernel(a, b, uplo, trans, diag, dist_a, dist_b, comm):
+    """Solve op(tri(A)) X = B in place of ``b`` (already alpha-scaled)."""
+    m = dist_a.size[0]
+    nb = dist_a.block_size[0]
+    mt = dist_a.nr_tiles[0]
+    PP, QQ = comm.P, comm.Q
+    lmt_a, lnt_a = dist_a.local_nr_tiles
+    lmt_b, _ = dist_b.local_nr_tiles
+    dtype = b.dtype
+    eye = jnp.eye(nb, dtype=dtype)
+    bw = b.shape[1]
+
+    forward = (uplo == "L") == (trans == "N")
+    order = range(mt) if forward else range(mt - 1, -1, -1)
+
+    for k in order:
+        pk, qk = k % PP, k % QQ
+        lk, lq = k // PP, k // QQ
+
+        # diagonal tile (pad-safe)
+        dslice = lax.slice(a, (lk * nb, lq * nb),
+                           ((lk + 1) * nb, (lq + 1) * nb))
+        akk = comm.bcast_from(
+            jnp.where(comm.is_rank(pk, qk), dslice, jnp.zeros_like(dslice)),
+            pk, qk)
+        ev = (k * nb + jnp.arange(nb)) < m
+        akk = jnp.where(ev[:, None] & ev[None, :], akk, eye)
+
+        # B_k row strip: solve on owner grid-row, broadcast down columns
+        bslice = lax.slice(b, (lk * nb, 0), ((lk + 1) * nb, bw))
+        xk = tile.trsm("L", uplo, trans, diag, 1.0, akk, bslice)
+        xk = jnp.where(ev[:, None], xk, jnp.zeros_like(xk))
+        b = b.at[lk * nb:(lk + 1) * nb, :].set(
+            jnp.where(comm.in_row(pk) & ev[:, None], xk, bslice))
+        xk = comm.bcast_rows_from(
+            jnp.where(comm.in_row(pk), xk, jnp.zeros_like(xk)), pk)
+
+        # update range of B rows (conservative static local tile range)
+        if forward:
+            r0, r1 = (k + 1) // PP, lmt_b
+            glo, ghi = (k + 1) * nb, m
+        else:
+            r0, r1 = 0, min(lmt_b, _cdiv(k, PP))
+            glo, ghi = 0, k * nb
+        if r0 >= r1:
+            continue
+        rows = (r1 - r0) * nb
+        grow = global_row_index(lmt_a, nb, PP, comm.p, r0)[: rows]
+        rmask = (grow >= glo) & (grow < ghi)
+
+        if trans == "N":
+            # column strip A[range, k]: rows already aligned with B's rows
+            pslice = lax.slice(a, (r0 * nb, lq * nb),
+                               (r1 * nb, (lq + 1) * nb))
+            apan = comm.bcast_cols_from(
+                jnp.where(comm.in_col(qk), pslice, jnp.zeros_like(pslice)),
+                qk)
+            mpan = jnp.where(rmask, apan, jnp.zeros_like(apan))
+        else:
+            # row strip A[k, range]: must cross the diagonal -> natural-order
+            # masked all-reduce, then each rank gathers its B-row set
+            if forward:  # A upper, op(A) lower: cols k+1..  (suffix)
+                c0, c1 = (k + 1) // QQ, lnt_a
+            else:  # A lower, op(A) upper: cols 0..k-1 (prefix)
+                c0, c1 = 0, min(lnt_a, _cdiv(k, QQ))
+            if c0 >= c1:
+                continue
+            sslice = lax.slice(a, (lk * nb, c0 * nb), ((lk + 1) * nb, c1 * nb))
+            sslice = jnp.where(comm.in_row(pk), sslice,
+                               jnp.zeros_like(sslice))
+            gcol = global_row_index(lnt_a, nb, QQ, comm.q, c0)[
+                : (c1 - c0) * nb].T  # [1, cols] global col index
+            smask = (gcol >= glo) & (gcol < ghi) & ev[:, None]
+            sslice = jnp.where(smask, sslice, jnp.zeros_like(sslice))
+            nat = scatter_cols_to_natural(sslice, lnt_a, nb, QQ, comm.q, c0)
+            nat = comm.sum_all(nat[:, glo:ghi if ghi % nb == 0 or True else ghi])
+            # pad natural cols to B's row-index space, gather my rows
+            zpre = jnp.zeros((nb, glo), dtype)
+            natf = jnp.concatenate([zpre, nat], axis=1)
+            need = PP * lmt_b * nb
+            if natf.shape[1] < need:
+                natf = jnp.concatenate(
+                    [natf, jnp.zeros((nb, need - natf.shape[1]), dtype)],
+                    axis=1)
+            else:
+                natf = natf[:, :need]
+            mine = gather_my_cols(natf, lmt_b, nb, PP, comm.p, r0)
+            mpan = mine.T if trans == "T" else tile.adj(mine)
+            mpan = jnp.where(rmask, mpan, jnp.zeros_like(mpan))
+
+        bpart = lax.slice(b, (r0 * nb, 0), (r1 * nb, bw))
+        b = b.at[r0 * nb:r1 * nb, :].set(bpart - tile.dot(mpan, xk))
+
+    return b
+
+
+def _dispatch_left(a_mat, b_mat, uplo, trans, diag, alpha):
+    bdata = b_mat.data * jnp.asarray(alpha, b_mat.dtype)
+    if a_mat.grid is None:
+        out = _trsm_left_kernel(a_mat.data, bdata, uplo, trans, diag,
+                                a_mat.dist, b_mat.dist, LocalComm())
+        return b_mat.with_data(out)
+    grid = a_mat.grid
+    fn = jax.shard_map(
+        lambda ad, bd: _trsm_left_kernel(ad, bd, uplo, trans, diag,
+                                         a_mat.dist, b_mat.dist,
+                                         make_comm(grid)),
+        mesh=grid.mesh, in_specs=(P("p", "q"), P("p", "q")),
+        out_specs=P("p", "q"))
+    return b_mat.with_data(fn(a_mat.data, bdata))
+
+
+@partial(jax.jit, static_argnames=("side", "uplo", "trans", "diag"))
+def triangular_solver(side: str, uplo: str, trans: str, diag: str,
+                      alpha, a: DistMatrix, b: DistMatrix) -> DistMatrix:
+    """Solve op(tri(A)) X = alpha B (Left) or X op(tri(A)) = alpha B (Right).
+
+    Equivalent of ``dlaf::triangular_solver`` (``solver/triangular.h``);
+    returns X as a new DistMatrix with B's distribution.
+    """
+    if side not in ("L", "R") or uplo not in ("L", "U") or \
+            trans not in ("N", "T", "C") or diag not in ("N", "U"):
+        raise ValueError("invalid side/uplo/trans/diag")
+    if a.size[0] != a.size[1]:
+        raise ValueError("A must be square")
+    if a.block_size[0] != a.block_size[1]:
+        raise ValueError("A must have square blocks")
+    k = a.size[0]
+    if side == "L" and b.size[0] != k:
+        raise ValueError("size mismatch")
+    if side == "R" and b.size[1] != k:
+        raise ValueError("size mismatch")
+
+    if side == "L":
+        return _dispatch_left(a, b, uplo, trans, diag, alpha)
+
+    # Right: X op(A) = alpha B  <=>  op(A)^H X^H = conj(alpha) B^H
+    from ..auxiliary.transpose import adjoint
+    bh = adjoint(b)
+    if trans == "N":
+        xh = _dispatch_left(a, bh, uplo, "C", diag, jnp.conjugate(alpha))
+    elif trans == "C":
+        xh = _dispatch_left(a, bh, uplo, "N", diag, jnp.conjugate(alpha))
+    else:  # T: (A^T)^H = conj(A)
+        ac = a.with_data(jnp.conjugate(a.data))
+        xh = _dispatch_left(ac, bh, uplo, "N", diag, jnp.conjugate(alpha))
+    return adjoint(xh)

@@ -1,0 +1,64 @@
+"""Matrix generators and predicates.
+
+Equivalent of the reference's ``include/dlaf/util_matrix.h``: predicates like
+``square_size``/``square_blocksize`` and generators like
+``set_random_hermitian_positive_definite`` (used by miniapps and tests).
+Generators are deterministic given a seed and produce *natural* arrays; wrap
+with :meth:`DistMatrix.from_natural` to distribute.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..types import is_complex
+
+
+def square_size(mat) -> bool:
+    return mat.size[0] == mat.size[1]
+
+
+def square_block_size(mat) -> bool:
+    return mat.block_size[0] == mat.block_size[1]
+
+
+def same_process_grid(a, b) -> bool:
+    ga = None if a.grid is None else a.grid.shape
+    gb = None if b.grid is None else b.grid.shape
+    return ga == gb
+
+
+def random(m, n, dtype=np.float64, seed=0):
+    """Uniform random in [-1, 1] (reference ``util_matrix.h:set_random``)."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, (m, n))
+    if is_complex(dtype):
+        x = x + 1j * rng.uniform(-1.0, 1.0, (m, n))
+    return x.astype(dtype)
+
+
+def random_hermitian(n, dtype=np.float64, seed=0):
+    x = random(n, n, dtype, seed)
+    h = (x + x.conj().T) / 2
+    np.fill_diagonal(h, h.diagonal().real)
+    return h.astype(dtype)
+
+
+def random_hermitian_positive_definite(n, dtype=np.float64, seed=0):
+    """Hermitian with eigenvalues in [2n-1, 2n+1] — exactly the reference's
+    ``set_random_hermitian_positive_definite`` recipe (off-diagonal in the
+    unit ball / 2n + diagonal 2n), guaranteed SPD and well conditioned."""
+    h = random_hermitian(n, dtype, seed)
+    a = h + 2.0 * n * np.eye(n, dtype=dtype)
+    return a.astype(dtype)
+
+
+def random_lower_triangular(n, dtype=np.float64, seed=0):
+    """Well-conditioned lower-triangular (unit-ish diagonal)."""
+    x = np.tril(random(n, n, dtype, seed))
+    np.fill_diagonal(x, x.diagonal() + 2.0)
+    return x.astype(dtype)
+
+
+def random_upper_triangular(n, dtype=np.float64, seed=0):
+    return random_lower_triangular(n, dtype, seed).conj().T.astype(dtype)

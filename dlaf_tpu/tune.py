@@ -1,0 +1,63 @@
+"""Runtime-tunable algorithm parameters.
+
+Equivalent of the reference's ``TuneParameters`` (``include/dlaf/tune.h:
+114-168``) and its three-layer precedence (compiled defaults <- environment
+``DLAF_*`` <- explicit overrides, ``src/init.cpp:203-230``).  The knobs differ
+because the execution model differs: there is no thread/stream pool to size;
+instead we tune matmul precision, lookahead depth of the unrolled drivers, and
+the recursive-triangle split used by trailing Hermitian updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _env(name, default, cast):
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    if cast is bool:
+        return v.strip().upper() in ("1", "ON", "TRUE", "YES")
+    return cast(v)
+
+
+@dataclasses.dataclass
+class TuneParameters:
+    #: jax matmul precision for f32 tile ops: "highest" keeps LAPACK-grade
+    #: accuracy on the MXU (3-pass bf16x9); "default" trades accuracy for
+    #: speed.  (Reference has no analogue: cuBLAS is always full precision.)
+    matmul_precision: str = _env("DLAF_MATMUL_PRECISION", "highest", str)
+    #: recursion depth for triangle-aware trailing updates (herk/her2k):
+    #: depth d wastes <= 2^-d of the rectangle flops on the masked diagonal
+    #: band.  0 = plain full-rectangle update.
+    herk_split_depth: int = _env("DLAF_HERK_SPLIT_DEPTH", 2, int)
+    #: minimum band size for the two-stage eigensolver
+    #: (reference ``tune.h: eigensolver_min_band``, default 100).
+    eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)
+    #: band size divisor: band = max(block / divisor, min_band)
+    #: (reference ``internal/get_band_size.h``).
+    band_size_divisor: int = _env("DLAF_BAND_SIZE_DIVISOR", 2, int)
+    #: debug dumps of algorithm inputs/outputs (reference's 9 HDF5 dump
+    #: flags, ``tune.h``); writes .npz via matrix/io.py when set.
+    debug_dump_cholesky: bool = _env("DLAF_DEBUG_DUMP_CHOLESKY", False, bool)
+    debug_dump_eigensolver: bool = _env("DLAF_DEBUG_DUMP_EIGENSOLVER", False,
+                                        bool)
+    debug_dump_dir: str = _env("DLAF_DEBUG_DUMP_DIR", ".", str)
+
+
+_params = TuneParameters()
+
+
+def get_tune_parameters() -> TuneParameters:
+    """Globally mutable, like the reference's ``getTuneParameters()``."""
+    return _params
+
+
+def set_tune_parameters(**kwargs) -> TuneParameters:
+    for k, v in kwargs.items():
+        if not hasattr(_params, k):
+            raise AttributeError(f"unknown tune parameter {k!r}")
+        setattr(_params, k, v)
+    return _params

@@ -1,0 +1,116 @@
+"""Distribution index-algebra tests.
+
+Mirrors the reference's exhaustive ``test/unit/matrix/test_distribution.cpp``:
+round-trip every conversion over a sweep of sizes, block sizes, grids and
+source ranks, including empty matrices and non-divisible sizes.
+"""
+
+import pytest
+
+from dlaf_tpu.matrix.distribution import Distribution
+
+CASES = [
+    # (size, block, grid, src)
+    ((0, 0), (4, 4), (2, 3), (0, 0)),
+    ((1, 1), (4, 4), (2, 3), (0, 0)),
+    ((3, 3), (4, 4), (1, 1), (0, 0)),
+    ((13, 7), (4, 3), (2, 3), (0, 0)),
+    ((13, 7), (4, 3), (2, 3), (1, 2)),
+    ((32, 32), (8, 8), (4, 2), (0, 0)),
+    ((33, 31), (8, 8), (4, 2), (3, 1)),
+    ((100, 60), (16, 8), (3, 3), (0, 0)),
+]
+
+
+@pytest.mark.parametrize("size,block,grid,src", CASES)
+def test_tile_element_roundtrip(size, block, grid, src):
+    d = Distribution(size, block, grid, src)
+    m, n = size
+    for i in range(0, m, max(1, m // 7)):
+        for j in range(0, n, max(1, n // 7)):
+            gt = d.global_tile_from_global_element((i, j))
+            te = d.tile_element_from_global_element((i, j))
+            back = d.global_element_from_global_tile_and_tile_element(gt, te)
+            assert tuple(back) == (i, j)
+
+
+@pytest.mark.parametrize("size,block,grid,src", CASES)
+def test_ownership_and_local_roundtrip(size, block, grid, src):
+    d = Distribution(size, block, grid, src)
+    mt, nt = d.nr_tiles
+    assert mt == -(-size[0] // block[0]) and nt == -(-size[1] // block[1])
+    for ti in range(mt):
+        for tj in range(nt):
+            rank = d.rank_global_tile((ti, tj))
+            assert 0 <= rank[0] < grid[0] and 0 <= rank[1] < grid[1]
+            lt = d.local_tile_from_global_tile((ti, tj))
+            back = d.global_tile_from_local_tile(lt, rank)
+            assert tuple(back) == (ti, tj)
+
+
+@pytest.mark.parametrize("size,block,grid,src", CASES)
+def test_next_local_tile(size, block, grid, src):
+    d = Distribution(size, block, grid, src)
+    mt, nt = d.nr_tiles
+    P, Q = grid
+    for ti in range(mt + 1):
+        for p in range(P):
+            nl = d.next_local_tile_from_global_tile((ti, 0), (p, 0)).row
+            # brute force: first local tile whose global index >= ti
+            expected = 0
+            g = lambda l: l * P + (p - src[0]) % P  # noqa: E731
+            while g(expected) < ti:
+                expected += 1
+            assert nl == expected
+            # conservative min bound never exceeds the true start
+            assert d.min_next_local_tile((ti, 0)).row <= nl
+
+
+@pytest.mark.parametrize("size,block,grid,src", CASES)
+def test_local_element_count_sums_to_global(size, block, grid, src):
+    d = Distribution(size, block, grid, src)
+    P, Q = grid
+    rows = sum(d.local_element_count((p, 0))[0] for p in range(P))
+    cols = sum(d.local_element_count((0, q))[1] for q in range(Q))
+    assert rows == size[0]
+    assert cols == size[1]
+
+
+@pytest.mark.parametrize("size,block,grid,src", CASES)
+def test_storage_order_bijection(size, block, grid, src):
+    d = Distribution(size, block, grid, src)
+    mtp, ntp = d.padded_nr_tiles
+    seen = set()
+    for ti in range(mtp):
+        for tj in range(ntp):
+            st = d.storage_tile_from_global_tile((ti, tj))
+            assert 0 <= st[0] < mtp and 0 <= st[1] < ntp
+            assert st not in seen
+            seen.add(st)
+            assert tuple(d.global_tile_from_storage_tile(st)) == (ti, tj)
+    assert len(seen) == mtp * ntp
+
+
+def test_padding_invariants():
+    d = Distribution((33, 31), (8, 8), (4, 2))
+    assert d.nr_tiles == (5, 4)
+    assert d.padded_nr_tiles == (8, 4)
+    assert d.local_nr_tiles == (2, 2)
+    assert d.padded_size == (64, 32)
+    assert d.local_size == (16, 16)
+
+
+def test_invalid_args():
+    with pytest.raises(ValueError):
+        Distribution((-1, 2), (4, 4))
+    with pytest.raises(ValueError):
+        Distribution((4, 4), (0, 4))
+    with pytest.raises(ValueError):
+        Distribution((4, 4), (4, 4), (2, 2), (2, 0))
+
+
+def test_transposed():
+    d = Distribution((13, 7), (4, 3), (2, 3), (1, 2))
+    t = d.transposed()
+    assert t.size == (7, 13) and t.block_size == (3, 4)
+    assert t.grid_size == (3, 2) and t.src_rank == (2, 1)
