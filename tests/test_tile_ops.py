@@ -138,9 +138,10 @@ def test_hegst(dtype, uplo):
     b = mu.random_hermitian_positive_definite(n, dtype, 14)
     bf = sla.cholesky(b, lower=(uplo == "L"))
     got = np.asarray(tile.hegst(1, uplo, a, bf))
-    want = sla.lapack.dsygst(1, a.real, bf.real, lower=(uplo == "L"))[0] \
+    want = sla.lapack.dsygst(a.real, bf.real, itype=1,
+                             lower=(uplo == "L"))[0] \
         if not np.iscomplexobj(a) else \
-        sla.lapack.zhegst(1, a, bf, lower=(uplo == "L"))[0]
+        sla.lapack.zhegst(a, bf, itype=1, lower=(uplo == "L"))[0]
     m = np.tril(np.ones((n, n), bool)) if uplo == "L" else \
         np.triu(np.ones((n, n), bool))
     np.testing.assert_allclose(got[m], want[m], rtol=0, atol=100 * tol(dtype))
