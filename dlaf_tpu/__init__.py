@@ -15,23 +15,51 @@ XLA's async scheduler supplies the communication/computation overlap.
 
 from .matrix.distribution import Distribution
 from .matrix.matrix import DistMatrix
+from .matrix.ref import MatrixRef
 from .parallel.grid import Grid
 from .tune import get_tune_parameters, set_tune_parameters
 from .types import total_ops
 
 from .algorithms.factorization.cholesky import cholesky_factorization
+from .algorithms.solver.triangular import triangular_solver
+from .algorithms.multiplication.general import general_multiplication
+from .algorithms.multiplication.hermitian import hermitian_multiplication
+from .algorithms.multiplication.triangular import triangular_multiplication
+from .algorithms.inverse.triangular import triangular_inverse
+from .algorithms.inverse.cholesky import (cholesky_inverse,
+                                          inverse_from_cholesky_factor)
+from .algorithms.auxiliary.norm import max_norm
 from .algorithms.auxiliary.transpose import adjoint, transpose
+from .algorithms.eigensolver.gen_to_std import generalized_to_standard
+from .algorithms.eigensolver.reduction_to_band import reduction_to_band
+from .algorithms.eigensolver.tridiag_solver import tridiagonal_eigensolver
+from .algorithms.eigensolver.eigensolver import (
+    hermitian_eigensolver, hermitian_generalized_eigensolver)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Distribution",
     "DistMatrix",
+    "MatrixRef",
     "Grid",
     "get_tune_parameters",
     "set_tune_parameters",
     "total_ops",
     "cholesky_factorization",
+    "triangular_solver",
+    "general_multiplication",
+    "hermitian_multiplication",
+    "triangular_multiplication",
+    "triangular_inverse",
+    "cholesky_inverse",
+    "inverse_from_cholesky_factor",
+    "max_norm",
     "adjoint",
     "transpose",
+    "generalized_to_standard",
+    "reduction_to_band",
+    "tridiagonal_eigensolver",
+    "hermitian_eigensolver",
+    "hermitian_generalized_eigensolver",
 ]

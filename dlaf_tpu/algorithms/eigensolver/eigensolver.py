@@ -1,0 +1,127 @@
+"""Standard and generalized Hermitian eigensolver drivers.
+
+Equivalent of the reference's ``hermitian_eigensolver``
+(``eigensolver/eigensolver.h:33,146``, impl ``eigensolver/eigensolver/
+impl.h:37-105``) and ``hermitian_generalized_eigensolver[_factorized]``
+(``eigensolver/gen_eigensolver.h``, impl ``gen_eigensolver/impl.h:31-104``).
+
+Pipeline (the reference's §3.3 call stack, re-hosted per stage):
+  reduction_to_band (XLA/MXU) -> band_to_tridiagonal (host chase, like the
+  reference's CPU-only stage) -> tridiagonal D&C (XLA) -> BT band->tridiag
+  (XLA wave kernel) -> BT reduction->band (XLA/MXU).
+
+Partial spectrum: ``eigenvalues_index_end`` mirrors the reference's
+``[begin=0, end)`` contract (``eigensolver.h:53``): only the first columns
+are back-transformed (both BTs operate on the column slice, the analogue of
+the reference's MatrixRef slicing at ``eigensolver/impl.h:90-92``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...matrix.matrix import DistMatrix
+from ...ops import tile
+from ...tune import get_tune_parameters
+from ..factorization.cholesky import cholesky_factorization
+from ..internal import natural_exact, store_natural_exact
+from ..solver.triangular import triangular_solver
+from .band_to_tridiag import band_to_tridiagonal
+from .bt_band_to_tridiag import bt_band_to_tridiagonal
+from .bt_reduction_to_band import bt_reduction_to_band
+from .gen_to_std import generalized_to_standard
+from .reduction_to_band import extract_band, reduction_to_band
+from .tridiag_solver import tridiagonal_eigensolver
+
+
+def get_band_size(nb: int) -> int:
+    """Reference heuristic (``internal/get_band_size.h``):
+    ``max(nb / divisor, min_band)`` clipped to the block size."""
+    p = get_tune_parameters()
+    return max(1, min(nb, max(nb // p.band_size_divisor,
+                              p.eigensolver_min_band)))
+
+
+def hermitian_eigensolver(
+        a: DistMatrix, uplo: str = "L", *,
+        band_size: Optional[int] = None,
+        eigenvalues_index_end: Optional[int] = None,
+        leaf_size: int = 64,
+) -> Tuple[jnp.ndarray, DistMatrix]:
+    """Eigenvalues (ascending) and eigenvectors of a Hermitian matrix.
+
+    Returns ``(eigenvalues [n_ev], eigenvectors DistMatrix [n, n_ev])``
+    where ``n_ev = eigenvalues_index_end or n``.
+    """
+    if uplo not in ("L", "U"):
+        raise ValueError("invalid uplo")
+    n = a.size[0]
+    if a.size[0] != a.size[1]:
+        raise ValueError("matrix must be square")
+    nb = a.block_size[0]
+    n_ev = n if eigenvalues_index_end is None else int(eigenvalues_index_end)
+    if not 0 <= n_ev <= n:
+        raise ValueError(f"eigenvalues_index_end {n_ev} out of range")
+    rdtype = np.zeros((), a.dtype).real.dtype
+
+    if n == 0:
+        return jnp.zeros((0,), rdtype), a.with_data(a.data)
+
+    band = get_band_size(nb) if band_size is None else int(band_size)
+
+    from ...matrix.io import debug_dump
+    debug_dump("eigensolver", a, "input")
+
+    # uplo=U: materialize the full Hermitian; reduction reads lower
+    if uplo == "U":
+        a = store_natural_exact(a, tile.hermitian_full(natural_exact(a), "U"))
+
+    mat_hh, taus = reduction_to_band(a, band)
+    ab = np.asarray(extract_band(mat_hh, band))
+    res = band_to_tridiagonal(ab, band)
+
+    lam, z = tridiagonal_eigensolver(jnp.asarray(res.d, rdtype),
+                                     jnp.asarray(res.e, rdtype),
+                                     leaf_size=min(leaf_size, max(n, 1)))
+    lam = lam[:n_ev]
+    z = z[:, :n_ev]
+
+    e2 = bt_band_to_tridiagonal(res, z)
+    if e2.dtype != a.dtype:
+        e2 = e2.astype(a.dtype)
+    e = bt_reduction_to_band(band, e2, mat_hh, taus)
+
+    evec = DistMatrix.from_natural(
+        jnp.zeros((n, n_ev), a.dtype), a.block_size, a.grid)
+    evec = store_natural_exact(evec, e)
+    debug_dump("eigensolver", evec, "eigenvectors")
+    return lam, evec
+
+
+def hermitian_generalized_eigensolver(
+        a: DistMatrix, b: DistMatrix, uplo: str = "L", *,
+        factorized: bool = False,
+        eigenvalues_index_end: Optional[int] = None,
+        **kw,
+) -> Tuple[jnp.ndarray, DistMatrix]:
+    """Solve A x = lambda B x (A Hermitian, B HPD).
+
+    ``factorized=True`` means ``b`` already holds B's Cholesky factor
+    (the reference's ``hermitian_generalized_eigensolver_factorized``).
+    """
+    if uplo not in ("L", "U"):
+        raise ValueError("invalid uplo")
+    fb = b if factorized else cholesky_factorization(b, uplo)
+    std = generalized_to_standard(uplo, a, fb)
+    lam, evec = hermitian_eigensolver(
+        std, uplo, eigenvalues_index_end=eigenvalues_index_end, **kw)
+    # back-substitution on the eigenvector slice:
+    # uplo=L: x = L^-H y ; uplo=U: x = U^-1 y
+    if uplo == "L":
+        evec = triangular_solver("L", "L", "C", "N", 1.0, fb, evec)
+    else:
+        evec = triangular_solver("L", "U", "N", "N", 1.0, fb, evec)
+    return lam, evec

@@ -1,0 +1,225 @@
+"""Reduction of a Hermitian matrix to band form (stage 1 of the eigensolver).
+
+Equivalent of the reference's ``reduction_to_band``
+(``eigensolver/reduction_to_band/impl.h:993`` local, ``:1150+`` distributed;
+api ``reduction_to_band/api.h:22-25``): blocked Householder panel
+factorization + compact-WY two-sided trailing update.  TPU-native mapping:
+
+* the reference's multi-threaded panel task with blocking in-task allreduces
+  (``impl.h:604-700``) becomes a ``lax.fori_loop`` over the panel's columns —
+  per-column norms/dots become XLA reductions (ICI collectives when sharded);
+* the T factor is computed without the reference's multi-threaded larft
+  (``factorization/qr/t_factor_impl.h``): with V the unit-lower reflector
+  block and taus the scalars, ``T^{-1} = diag(1/tau) + triu(V^H V, 1)``, one
+  MXU gemm + one small triangular solve;
+* the trailing her2k (``impl.h:820+``) and the W/X hemm chain
+  (``impl.h:701-830``) run as full-matrix gemms over the natural-order
+  Hermitian matrix, scheduled by the XLA partitioner (we keep both triangles
+  — trading 2x rectangle MXU flops for no owner bookkeeping).
+
+Output contract mirrors the reference: the returned matrix holds the band
+(diagonal blocks + upper-triangular subdiagonal R blocks) with the reflectors
+V stored strictly below the band, plus the tau scalars.  Lower (uplo=L) only,
+like the reference's implementation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...matrix.matrix import DistMatrix
+from ...ops import tile
+from ..internal import natural_exact, store_natural_exact
+
+
+def _is_complex(dtype):
+    return jnp.issubdtype(dtype, jnp.complexfloating)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def set_block(nat, val, r0: int, c0: int):
+    """Write ``val`` into ``nat[r0:r0+h, c0:c0+w]`` without a scatter.
+
+    ``.at[slice].set`` lowers to scatter, which mis-compiles under GSPMD on
+    unevenly-sharded axes (observed on 1x8 CPU meshes); pad + select lowers
+    to elementwise ops the partitioner handles correctly.
+    """
+    n0, n1 = nat.shape
+    h, w = val.shape
+    emb = jnp.pad(val, ((r0, n0 - r0 - h), (c0, n1 - c0 - w)))
+    rows = lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n0, n1), 1)
+    mask = (rows >= r0) & (rows < r0 + h) & (cols >= c0) & (cols < c0 + w)
+    return jnp.where(mask, emb, nat)
+
+
+def _larfg(col, j, pm, dtype):
+    """Householder generator for panel column ``col`` with pivot row ``j``.
+
+    Returns (v, tau, beta): v unit at the pivot, zero above, scaled below;
+    tau the scalar; beta the (real in exact arithmetic) new pivot value.
+    Mirrors LAPACK ``larfg`` semantics (reference tiles call it through
+    lapackpp in ``eigensolver/reduction_to_band/impl.h`` panel kernels).
+    """
+    rows = lax.broadcasted_iota(jnp.int32, (pm, 1), 0)[:, 0]
+    below = rows > j
+    pivot = rows == j
+    rdtype = jnp.zeros((), dtype).real.dtype
+
+    alpha = jnp.sum(jnp.where(pivot, col, jnp.zeros_like(col)))
+    sigma = jnp.sum(jnp.where(below, jnp.abs(col) ** 2,
+                              jnp.zeros((pm,), rdtype)))
+    alpha_re = alpha.real.astype(rdtype)
+    anorm = jnp.sqrt(jnp.abs(alpha) ** 2 + sigma)
+    beta_r = jnp.where(alpha_re > 0, -anorm, anorm)  # -sign(re(alpha))*norm
+    beta = beta_r.astype(dtype)
+
+    if _is_complex(dtype):
+        zero_case = (sigma == 0) & (alpha.imag == 0)
+    else:
+        zero_case = sigma == 0
+    safe_den = jnp.where(zero_case, jnp.ones((), dtype), alpha - beta)
+    safe_beta = jnp.where(beta == 0, jnp.ones((), dtype), beta)
+    tau = jnp.where(zero_case, jnp.zeros((), dtype),
+                    (beta - alpha) / safe_beta)
+    v = jnp.where(below, col / safe_den,
+                  jnp.where(pivot, jnp.ones((pm,), dtype),
+                            jnp.zeros((pm,), dtype)))
+    v = jnp.where(zero_case, jnp.zeros((pm,), dtype), v)  # tau=0 => v=0
+    beta_out = jnp.where(zero_case, alpha, beta)
+    return v, tau, beta_out
+
+
+def _panel_qr(panel):
+    """Householder QR of one panel: returns (R-ized panel, V, taus).
+
+    V's column j is zeroed entirely when tau_j == 0 (identity reflector);
+    the T-factor identity below relies on this convention.
+    """
+    pm, w = panel.shape
+    dtype = panel.dtype
+    rows = lax.broadcasted_iota(jnp.int32, (pm, w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (pm, w), 1)
+
+    def body(j, carry):
+        panel, V, taus = carry
+        col = lax.dynamic_slice(panel, (0, j), (pm, 1))[:, 0]
+        v, tau, beta = _larfg(col, j, pm, dtype)
+        # apply H^H = I - conj(tau) v v^H to columns > j (R = Q^H panel;
+        # LAPACK convention: H^H x = beta e1, Q = H_0 H_1 ...)
+        wrow = jnp.conjugate(v) @ panel  # [w]
+        upd = jnp.conjugate(tau) * v[:, None] * wrow[None, :]
+        panel = panel - jnp.where(cols > j, upd, jnp.zeros_like(upd))
+        # column j becomes [r_0..r_{j-1}, beta, 0, ...]
+        rr = lax.broadcasted_iota(jnp.int32, (pm, 1), 0)[:, 0]
+        newcol = jnp.where(rr == j, beta,
+                           jnp.where(rr > j, jnp.zeros((), dtype), col))
+        panel = lax.dynamic_update_slice(panel, newcol[:, None], (0, j))
+        V = lax.dynamic_update_slice(V, v[:, None], (0, j))
+        taus = lax.dynamic_update_slice(taus, tau[None], (j,))
+        return panel, V, taus
+
+    V0 = jnp.zeros((pm, w), dtype)
+    taus0 = jnp.zeros((w,), dtype)
+    return lax.fori_loop(0, w, body, (panel, V0, taus0))
+
+
+def t_factor(V, taus):
+    """Compact-WY T: ``T^{-1} = diag(1/tau) + triu(V^H V, 1)``.
+
+    Requires V columns with tau=0 to be all-zero (then 1/tau := 1 keeps the
+    system invertible and the reflector contributes identity).
+    """
+    w = V.shape[1]
+    dtype = V.dtype
+    tau_safe = jnp.where(taus == 0, jnp.ones_like(taus), taus)
+    vhv = tile.dot(tile.adj(V), V)
+    tinv = jnp.triu(vhv, 1) + jnp.diag(1.0 / tau_safe)
+    eye = jnp.eye(w, dtype=dtype)
+    return lax.linalg.triangular_solve(tinv, eye, left_side=True, lower=False)
+
+
+@partial(jax.jit, static_argnames=("band_size",))
+def reduction_to_band(a: DistMatrix,
+                      band_size: int | None = None
+                      ) -> Tuple[DistMatrix, jnp.ndarray]:
+    """Reduce a Hermitian matrix (lower stored) to band form.
+
+    Returns ``(mat_out, taus)``: ``mat_out``'s band holds the banded matrix
+    (and its Hermitian mirror above), the reflectors V sit strictly below the
+    band; ``taus`` has shape ``[nr_panels, band_size]``.  Any
+    ``band_size >= 1`` is supported (the reference picks
+    ``block/divisor >= eigensolver_min_band`` via ``internal/get_band_size.h``
+    and requires it to divide the block; panels here are band-width
+    regardless of the storage block).
+    """
+    n = a.size[0]
+    nb = a.block_size[0]
+    if a.size[0] != a.size[1] or a.block_size[0] != a.block_size[1]:
+        raise ValueError("reduction_to_band requires square matrix/blocks")
+    if band_size is None:
+        band_size = nb
+    b = int(band_size)
+    if b < 1:
+        raise ValueError("band_size must be >= 1")
+
+    nt = _cdiv(n, b)
+    nat = tile.hermitian_full(natural_exact(a), "L")
+    dtype = nat.dtype
+    n_panels = max(nt - 1, 0)
+    taus_all = jnp.zeros((max(n_panels, 1), b), dtype)
+
+    for k in range(n_panels):
+        j0, c0 = k * b, (k + 1) * b
+        pm = n - c0
+        w = b
+
+        panel = nat[c0:, j0:j0 + b]
+        R, V, taus = _panel_qr(panel)
+        T = t_factor(V, taus)
+        taus_all = taus_all.at[k].set(taus)
+
+        # two-sided trailing update: A <- A - X V^H - V X^H
+        trail = nat[c0:, c0:]
+        VT = tile.dot(V, T)
+        Y = tile.dot(trail, VT)                      # A V T
+        S = tile.dot(tile.adj(VT), Y)                # T^H V^H A V T
+        X = Y - 0.5 * tile.dot(V, S)
+        trail = trail - tile.dot(X, tile.adj(V)) - tile.dot(V, tile.adj(X))
+
+        nat = set_block(nat, trail, c0, c0)
+        # panel column block: R in the band, V strictly below the diagonal
+        rows = lax.broadcasted_iota(jnp.int32, (pm, w), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (pm, w), 1)
+        pout = jnp.where(rows <= cols, R, V)
+        nat = set_block(nat, pout, c0, j0)
+        # Hermitian mirror of the band part only (R^H above the diagonal)
+        ce = min(c0 + b, n)
+        rband = jnp.where(rows <= cols, R, jnp.zeros_like(R))[: ce - c0]
+        nat = set_block(nat, tile.adj(rband), j0, c0)
+
+    return store_natural_exact(a, nat), taus_all
+
+
+def extract_band(mat: DistMatrix, band_size: int) -> jnp.ndarray:
+    """Lower-banded storage ``ab[i, j] = A[j + i, j]`` (i in [0, band]).
+
+    The reflectors stored below the band never alias band diagonals, so this
+    reads straight off the reduction output.  Returns ``[band+1, n]``
+    (LAPACK ``sbtrd``-style), replicated.
+    """
+    nat = natural_exact(mat)
+    n = nat.shape[0]
+    ab = jnp.zeros((band_size + 1, n), dtype=nat.dtype)
+    for i in range(min(band_size, max(n - 1, 0)) + 1):
+        d = jnp.diagonal(nat, offset=-i)
+        ab = ab.at[i, : n - i].set(d)
+    return ab

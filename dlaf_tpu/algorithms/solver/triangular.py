@@ -106,15 +106,18 @@ def _trsm_left_kernel(a, b, uplo, trans, diag, dist_a, dist_b, comm):
                 c0, c1 = 0, min(lnt_a, _cdiv(k, QQ))
             if c0 >= c1:
                 continue
-            sslice = lax.slice(a, (lk * nb, c0 * nb), ((lk + 1) * nb, c1 * nb))
+            # full local suffix [c0, lnt_a); tiles beyond c1 are zeroed by
+            # the global-column mask (scatter_cols_to_natural needs panels
+            # that extend to the last local tile)
+            sslice = lax.slice(a, (lk * nb, c0 * nb),
+                               ((lk + 1) * nb, lnt_a * nb))
             sslice = jnp.where(comm.in_row(pk), sslice,
                                jnp.zeros_like(sslice))
-            gcol = global_row_index(lnt_a, nb, QQ, comm.q, c0)[
-                : (c1 - c0) * nb].T  # [1, cols] global col index
+            gcol = global_row_index(lnt_a, nb, QQ, comm.q, c0).T
             smask = (gcol >= glo) & (gcol < ghi) & ev[:, None]
             sslice = jnp.where(smask, sslice, jnp.zeros_like(sslice))
             nat = scatter_cols_to_natural(sslice, lnt_a, nb, QQ, comm.q, c0)
-            nat = comm.sum_all(nat[:, glo:ghi if ghi % nb == 0 or True else ghi])
+            nat = comm.sum_all(nat[:, glo:ghi])
             # pad natural cols to B's row-index space, gather my rows
             zpre = jnp.zeros((nb, glo), dtype)
             natf = jnp.concatenate([zpre, nat], axis=1)
@@ -127,7 +130,7 @@ def _trsm_left_kernel(a, b, uplo, trans, diag, dist_a, dist_b, comm):
                 natf = natf[:, :need]
             mine = gather_my_cols(natf, lmt_b, nb, PP, comm.p, r0)
             mpan = mine.T if trans == "T" else tile.adj(mine)
-            mpan = jnp.where(rmask, mpan, jnp.zeros_like(mpan))
+            mpan = jnp.where(rmask, mpan[: rows], jnp.zeros((), dtype))
 
         bpart = lax.slice(b, (r0 * nb, 0), (r1 * nb, bw))
         b = b.at[r0 * nb:r1 * nb, :].set(bpart - tile.dot(mpan, xk))

@@ -1,0 +1,216 @@
+"""C-API-shaped layer: grid registry, descriptors, per-type entry points.
+
+Equivalent of the reference's ``include/dlaf_c/`` + ``src/c_api/`` layer
+(§2.10 of SURVEY.md): ``dlaf_initialize/finalize`` (``dlaf_c/init.h:27-35``),
+``dlaf_create_grid`` context registry counted down from INT_MAX
+(``src/c_api/grid.cpp:27-40``), ``DLAF_descriptor {m,n,mb,nb,i,j,ld}``
+(``dlaf_c/desc.h:16``), and per-type solver entry points with in-place
+user-buffer semantics plus ScaLAPACK-style wrappers (``dlaf_pdsyevd``-family,
+``dlaf_c/eigensolver/eigensolver.h:36-80``).
+
+The buffers are numpy arrays in ScaLAPACK column-major layout; each call
+wraps them zero-copy-in-spirit (device transfer happens once), runs the
+distributed algorithm, and writes results back — exactly the reference's
+``Matrix(layout, ptr)`` + ``MatrixMirror`` flow (``src/c_api/eigensolver/
+eigensolver.cpp:1-140``).  Grids address devices of the current process (the
+single-controller analogue of the reference's MPI communicators).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_INT_MAX = 2 ** 31 - 1
+_grids: Dict[int, "object"] = {}
+_next_ctx = _INT_MAX
+_initialized = False
+
+
+@dataclasses.dataclass
+class DLAF_descriptor:
+    """ScaLAPACK-style descriptor (``dlaf_c/desc.h:16``)."""
+
+    m: int
+    n: int
+    mb: int
+    nb: int
+    isrc: int = 0
+    jsrc: int = 0
+    i: int = 1          # 1-based submatrix origin, ScaLAPACK convention
+    j: int = 1
+    ld: int = 0
+
+    def __post_init__(self):
+        if self.i != 1 or self.j != 1:
+            raise NotImplementedError("submatrix origins (i, j) != 1")
+        if self.isrc != 0 or self.jsrc != 0:
+            raise NotImplementedError("nonzero source rank offsets")
+        if self.mb != self.nb:
+            raise ValueError("square blocks required")
+
+
+def dlaf_initialize(*_args) -> None:
+    """``dlaf_initialize`` — runtime startup is JAX's; records the state."""
+    global _initialized
+    _initialized = True
+
+
+def dlaf_finalize() -> None:
+    global _initialized, _grids
+    _initialized = False
+    _grids.clear()
+
+
+def dlaf_create_grid(nprow: int, npcol: int, order: str = "R") -> int:
+    """``dlaf_create_grid`` — returns a context handle (counted down from
+    INT_MAX like the reference, to avoid BLACS handle clashes)."""
+    global _next_ctx
+    if order.upper() not in ("R", "C"):
+        raise ValueError("order must be 'R' or 'C'")
+    from ..parallel.grid import Grid
+    grid = None
+    if (nprow, npcol) != (1, 1):
+        grid = Grid((nprow, npcol))
+    ctx = _next_ctx
+    _next_ctx -= 1
+    _grids[ctx] = grid
+    return ctx
+
+
+def dlaf_free_grid(ctx: int) -> None:
+    _grids.pop(ctx, None)
+
+
+def _grid_from_context(ctx: int):
+    if ctx not in _grids:
+        raise KeyError(f"unknown grid context {ctx}")
+    return _grids[ctx]
+
+
+def _wrap(a: np.ndarray, desc: DLAF_descriptor, grid):
+    """User buffer (column-major natural order) -> DistMatrix."""
+    from ..matrix.matrix import DistMatrix
+    if a.shape != (desc.m, desc.n):
+        a = np.asarray(a).reshape(desc.m, desc.n, order="F")
+    return DistMatrix.from_natural(jnp.asarray(a), (desc.mb, desc.nb), grid)
+
+
+def _writeback(dst: np.ndarray, mat, desc: DLAF_descriptor):
+    out = np.asarray(mat.to_natural())
+    if dst.shape == (desc.m, desc.n):
+        dst[...] = out
+    else:
+        dst[...] = out.reshape(dst.shape, order="F")
+
+
+# -- per-type entry points ----------------------------------------------------
+
+def _cholesky(ctx, uplo, a, desc):
+    from .. import cholesky_factorization
+    grid = _grid_from_context(ctx)
+    mat = _wrap(a, desc, grid)
+    out = cholesky_factorization(mat, uplo.upper())
+    _writeback(a, out, desc)
+    return 0
+
+
+def _cholesky_inverse(ctx, uplo, a, desc):
+    from .. import cholesky_inverse
+    grid = _grid_from_context(ctx)
+    mat = _wrap(a, desc, grid)
+    out = cholesky_inverse(uplo.upper(), mat)
+    _writeback(a, out, desc)
+    return 0
+
+
+def _eigensolver(ctx, uplo, a, desca, w, z, descz, n_ev=None):
+    from .. import hermitian_eigensolver
+    grid = _grid_from_context(ctx)
+    mat = _wrap(a, desca, grid)
+    lam, v = hermitian_eigensolver(mat, uplo.upper(),
+                                   eigenvalues_index_end=n_ev)
+    w[: len(np.asarray(lam))] = np.asarray(lam)
+    _writeback(z[:, : v.size[1]] if z.ndim == 2 else z, v, descz)
+    return 0
+
+
+def _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz,
+                     factorized=False):
+    from .. import hermitian_generalized_eigensolver
+    grid = _grid_from_context(ctx)
+    ma = _wrap(a, desca, grid)
+    mb = _wrap(b, descb, grid)
+    lam, v = hermitian_generalized_eigensolver(ma, mb, uplo.upper(),
+                                               factorized=factorized)
+    w[: len(np.asarray(lam))] = np.asarray(lam)
+    _writeback(z, v, descz)
+    return 0
+
+
+def _make_typed(fn, dtype):
+    def typed(*args, **kw):
+        return fn(*args, **kw)
+    typed.dtype = dtype
+    return typed
+
+
+# reference naming: dlaf_<algo>_<s|d|c|z> (``dlaf_c/*/*.h``)
+for _t, _dt in (("s", np.float32), ("d", np.float64),
+                ("c", np.complex64), ("z", np.complex128)):
+    globals()[f"dlaf_cholesky_{_t}"] = _make_typed(_cholesky, _dt)
+    globals()[f"dlaf_cholesky_inverse_{_t}"] = \
+        _make_typed(_cholesky_inverse, _dt)
+    if _dt in (np.float32, np.float64):
+        globals()[f"dlaf_symmetric_eigensolver_{_t}"] = \
+            _make_typed(_eigensolver, _dt)
+        globals()[f"dlaf_symmetric_generalized_eigensolver_{_t}"] = \
+            _make_typed(_gen_eigensolver, _dt)
+    else:
+        globals()[f"dlaf_hermitian_eigensolver_{_t}"] = \
+            _make_typed(_eigensolver, _dt)
+        globals()[f"dlaf_hermitian_generalized_eigensolver_{_t}"] = \
+            _make_typed(_gen_eigensolver, _dt)
+
+
+# -- ScaLAPACK-style wrappers -------------------------------------------------
+
+def _sca_desc(n, nb, lld=None):
+    return DLAF_descriptor(n, n, nb, nb, ld=lld or n)
+
+
+def dlaf_pdpotrf(uplo, n, a, ia, ja, desca: DLAF_descriptor, ctx,
+                 info=None):
+    """``dlaf_pdpotrf`` equivalent (ScaLAPACK calling shape)."""
+    if (ia, ja) != (1, 1):
+        raise NotImplementedError("submatrix offsets")
+    rc = _cholesky(ctx, uplo, a, desca)
+    if info is not None:
+        info[0] = rc
+    return rc
+
+
+def dlaf_pdsyevd(uplo, n, a, desca: DLAF_descriptor, w, z,
+                 descz: DLAF_descriptor, ctx, info=None):
+    """``dlaf_pdsyevd`` equivalent."""
+    rc = _eigensolver(ctx, uplo, a, desca, w, z, descz)
+    if info is not None:
+        info[0] = rc
+    return rc
+
+
+def dlaf_pzheevd(uplo, n, a, desca, w, z, descz, ctx, info=None):
+    rc = _eigensolver(ctx, uplo, a, desca, w, z, descz)
+    if info is not None:
+        info[0] = rc
+    return rc
+
+
+def dlaf_pdsygvx(uplo, n, a, desca, b, descb, w, z, descz, ctx, info=None):
+    rc = _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz)
+    if info is not None:
+        info[0] = rc
+    return rc

@@ -1,0 +1,39 @@
+"""Shared miniapp run loop (reference flow: ``miniapp_cholesky.cpp:106-199``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..matrix.matrix import DistMatrix
+from ..utils.timing import _force, slope_time
+from . import options as opt
+
+
+def run(name, args, make_input, run_alg, flops_fn, check_fn=None):
+    """Generic miniapp loop.
+
+    ``make_input() -> state`` (host data + DistMatrix inputs);
+    ``run_alg(state) -> result`` (jittable end-to-end);
+    ``flops_fn(args, dtype) -> flop count``; ``check_fn(state, result)``
+    returns a residual to print.
+    """
+    dtype = opt.dtype_of(args)
+    state = make_input()
+    flops = flops_fn(args, dtype)
+
+    for _ in range(args.nwarmups):
+        _force(run_alg(state))
+
+    for r in range(args.nruns):
+        secs = slope_time(run_alg, state, k_lo=1, k_hi=3, reps=1)
+        gflops = flops / secs / 1e9
+        opt.report(name, args, r, secs, gflops)
+        if check_fn is not None and (
+                args.check == "all" or
+                (args.check == "last" and r == args.nruns - 1)):
+            resid = check_fn(state, run_alg(state))
+            status = "PASSED" if resid == resid and resid < 1e-1 else "CHECK"
+            print(f"check: residual {resid:.3e} [{status}]")
+    return 0

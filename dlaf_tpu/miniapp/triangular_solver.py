@@ -1,0 +1,58 @@
+"""miniapp_triangular_solver equivalent
+(``miniapp/miniapp_triangular_solver.cpp``).
+
+GFlop/s model: ``total_ops<T>(m*m*n/2, m*m*n/2) / t`` for Left solves.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as sla
+
+from ..matrix import util as mu
+from ..matrix.matrix import DistMatrix
+from ..types import total_ops
+from . import options as opt
+from .runner import run
+
+
+def main(argv=None):
+    p = opt.make_parser("triangular_solver")
+    p.add_argument("--nrhs", type=int, default=None,
+                   help="RHS columns (default: matrix size)")
+    args = opt.parse_with_tune(p, argv)
+    dtype = opt.dtype_of(args)
+    grid = opt.build_grid(args)
+    n, nb = args.matrix_size, args.block_size
+    w = args.nrhs or n
+
+    from .. import triangular_solver
+
+    def make_input():
+        a = mu.random_lower_triangular(n, dtype, seed=3)
+        b = mu.random(n, w, dtype, seed=4)
+        ma = DistMatrix.from_natural(jnp.asarray(a), nb, grid)
+        mb = DistMatrix.from_natural(jnp.asarray(b), nb, grid)
+        return {"a": a, "b": b, "ma": ma, "mb": mb}
+
+    @jax.jit
+    def alg(ma, mb):
+        return triangular_solver("L", "L", "N", "N", 1.0, ma, mb)
+
+    def check(state, result):
+        x = np.asarray(result.to_natural())
+        want = sla.solve_triangular(np.tril(state["a"]), state["b"],
+                                    lower=True)
+        return float(np.linalg.norm(x - want) /
+                     max(np.linalg.norm(want), 1e-30))
+
+    return run("triangular_solver", args, make_input,
+               lambda s: alg(s["ma"], s["mb"]),
+               lambda a_, dt: total_ops(dt, n * n * w / 2, n * n * w / 2),
+               check)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
