@@ -133,8 +133,12 @@ def cholesky_factorization(mat: DistMatrix, uplo: str = "L") -> DistMatrix:
         return adjoint(cholesky_factorization(adjoint(mat), "L"))
 
     if mat.grid is None:
-        data = _cholesky_lower_kernel(mat.data, mat.dist, LocalComm())
-        return mat.with_data(data)
+        # single-device fast path: recursive gemm-formulated factorization
+        # (see factorization/recursive.py) instead of the unrolled k-loop
+        from ..internal import natural_exact, store_natural_exact
+        from .recursive import lpotrf_lower
+        l_nat = lpotrf_lower(natural_exact(mat))
+        return store_natural_exact(mat, l_nat)
 
     grid = mat.grid
     fn = jax.shard_map(

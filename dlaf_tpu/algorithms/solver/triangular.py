@@ -141,9 +141,16 @@ def _trsm_left_kernel(a, b, uplo, trans, diag, dist_a, dist_b, comm):
 def _dispatch_left(a_mat, b_mat, uplo, trans, diag, alpha):
     bdata = b_mat.data * jnp.asarray(alpha, b_mat.dtype)
     if a_mat.grid is None:
-        out = _trsm_left_kernel(a_mat.data, bdata, uplo, trans, diag,
-                                a_mat.dist, b_mat.dist, LocalComm())
-        return b_mat.with_data(out)
+        # single-device fast path: the XLA triangular_solve HLO beats the
+        # unrolled k-loop on one chip
+        from ..internal import natural_exact, store_natural_exact
+        na = natural_exact(a_mat)
+        nb_ = natural_exact(b_mat.with_data(bdata))
+        out = lax.linalg.triangular_solve(
+            na, nb_, left_side=True, lower=(uplo == "L"),
+            transpose_a=(trans in ("T", "C")), conjugate_a=(trans == "C"),
+            unit_diagonal=(diag == "U"))
+        return store_natural_exact(b_mat, out)
     grid = a_mat.grid
     fn = jax.shard_map(
         lambda ad, bd: _trsm_left_kernel(ad, bd, uplo, trans, diag,

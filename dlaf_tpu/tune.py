@@ -33,6 +33,11 @@ class TuneParameters:
     #: depth d wastes <= 2^-d of the rectangle flops on the masked diagonal
     #: band.  0 = plain full-rectangle update.
     herk_split_depth: int = _env("DLAF_HERK_SPLIT_DEPTH", 2, int)
+    #: base block size of the recursive single-device POTRF/TRTRI fast path
+    #: (below this, the XLA cholesky/triangular_solve HLOs take over).
+    potrf_base_size: int = _env("DLAF_POTRF_BASE_SIZE", 256, int)
+    #: panel width of the left-looking single-device POTRF
+    potrf_panel_size: int = _env("DLAF_POTRF_PANEL_SIZE", 4096, int)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)
