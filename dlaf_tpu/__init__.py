@@ -13,6 +13,23 @@ framework unrolls algorithm drivers into single XLA programs over
 XLA's async scheduler supplies the communication/computation overlap.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: the unrolled algorithm drivers are
+# compile-heavy (geqrf/eigh lowerings, bucketed loops); caching makes every
+# run after the first start in seconds.  Opt out with DLAF_COMPILE_CACHE=0.
+if _os.environ.get("DLAF_COMPILE_CACHE", "1") not in ("0", "OFF", "off"):
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("DLAF_COMPILE_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/dlaf_tpu_xla")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
 from .matrix.distribution import Distribution
 from .matrix.matrix import DistMatrix
 from .matrix.ref import MatrixRef

@@ -239,25 +239,50 @@ def bt_wave_schedule(n: int, b: int) -> Tuple[np.ndarray, np.ndarray]:
     """
     ps, _, _ = rotation_schedule(n, b)
     M = len(ps)
-    order = range(M - 1, -1, -1)  # reverse: Q2 E applies G_1^H last
-    last_level = np.full(n, -1, np.int64)
+    if M == 0:
+        return np.zeros((0, 0), np.int32), np.full((0, 0), -1, np.int32)
+    levels = _wave_levels(ps, n)
+    W = int(levels.max()) + 1
+    counts = np.bincount(levels, minlength=W)
+    R = int(counts.max())
+    # vectorized packing: application order is reversed-m; stable-sort the
+    # reversed stream by level, then slot = rank within the level group
+    rev = np.arange(M - 1, -1, -1)
+    lv_rev = levels[rev]
+    order = np.argsort(lv_rev, kind="stable")
+    starts = np.zeros(W + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    ranks = np.arange(M) - starts[lv_rev[order]]
+    p_waves = np.zeros((W, R), np.int32)
+    idx_waves = np.full((W, R), -1, np.int32)
+    m_sorted = rev[order]
+    p_waves[lv_rev[order], ranks] = ps[m_sorted]
+    idx_waves[lv_rev[order], ranks] = m_sorted
+    return p_waves, idx_waves
+
+
+def _wave_levels(ps: np.ndarray, n: int) -> np.ndarray:
+    """ASAP levels of the reversed stream (native kernel; numpy fallback)."""
+    import ctypes
+
+    from ...ops.native import get_lib
+    M = len(ps)
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "dlaf_wave_levels"):
+        levels = np.zeros(M, np.int64)
+        nl = np.zeros(1, np.int64)
+        psc = np.ascontiguousarray(ps, np.int32)
+        lib.dlaf_wave_levels(psc.ctypes.data_as(ctypes.c_void_p),
+                             ctypes.c_int64(M), ctypes.c_int64(n + 1),
+                             levels.ctypes.data_as(ctypes.c_void_p),
+                             nl.ctypes.data_as(ctypes.c_void_p))
+        return levels
+    last_level = np.full(n + 1, -1, np.int64)
     levels = np.empty(M, np.int64)
-    for m in order:
+    for m in range(M - 1, -1, -1):
         p = ps[m]
         lv = max(last_level[p - 1], last_level[p]) + 1
         levels[m] = lv
         last_level[p - 1] = lv
         last_level[p] = lv
-    W = int(levels.max()) + 1 if M else 0
-    counts = np.bincount(levels, minlength=W) if M else np.zeros(0, int)
-    R = int(counts.max()) if M else 0
-    p_waves = np.zeros((W, R), np.int32)
-    idx_waves = np.full((W, R), -1, np.int32)
-    fill = np.zeros(W, np.int64)
-    for m in order:
-        lv = levels[m]
-        slot = fill[lv]
-        p_waves[lv, slot] = ps[m]
-        idx_waves[lv, slot] = m
-        fill[lv] += 1
-    return p_waves, idx_waves
+    return levels

@@ -118,6 +118,29 @@ int chase(T* ab2, int64_t n, int64_t /*b*/, const int32_t* ps,
 
 extern "C" {
 
+// ASAP wave levels for the *reversed* rotation stream (back-transform
+// order): level[m] = 1 + max(level of any later rotation sharing a row).
+// Sequential recurrence -> native; the wave packing itself is vectorized in
+// numpy.
+int dlaf_wave_levels(const int32_t* ps, int64_t M, int64_t n,
+                     int64_t* levels /* [M] */, int64_t* n_levels) {
+  int64_t* last = new int64_t[n];
+  for (int64_t i = 0; i < n; ++i) last[i] = -1;
+  int64_t maxlv = -1;
+  for (int64_t m = M - 1; m >= 0; --m) {
+    const int64_t p = ps[m];
+    int64_t lv = last[p - 1] > last[p] ? last[p - 1] : last[p];
+    lv += 1;
+    levels[m] = lv;
+    last[p - 1] = lv;
+    last[p] = lv;
+    if (lv > maxlv) maxlv = lv;
+  }
+  *n_levels = maxlv + 1;
+  delete[] last;
+  return 0;
+}
+
 int dlaf_chase_s(float* ab2, int64_t n, int64_t b, const int32_t* ps,
                  const int32_t* qs, const int32_t* ks, int64_t M, float* cs,
                  float* ss) {
