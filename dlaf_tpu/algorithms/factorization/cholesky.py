@@ -132,11 +132,20 @@ def cholesky_factorization(mat: DistMatrix, uplo: str = "L") -> DistMatrix:
         from ..auxiliary.transpose import adjoint
         return adjoint(cholesky_factorization(adjoint(mat), "L"))
 
+    from ...tune import get_tune_parameters
+    from ..internal import natural_exact, store_natural_exact
+    from .recursive import lpotrf_lower
+
     if mat.grid is None:
         # single-device fast path: recursive gemm-formulated factorization
         # (see factorization/recursive.py) instead of the unrolled k-loop
-        from ..internal import natural_exact, store_natural_exact
-        from .recursive import lpotrf_lower
+        l_nat = lpotrf_lower(natural_exact(mat))
+        return store_natural_exact(mat, l_nat)
+
+    if get_tune_parameters().cholesky_distributed_algo == "partitioner":
+        # alternative distributed schedule: the blocked recursion in natural
+        # order with sharding constraints — XLA SPMD distributes the gemms
+        # (SUMMA-style) instead of the hand-placed k-loop collectives
         l_nat = lpotrf_lower(natural_exact(mat))
         return store_natural_exact(mat, l_nat)
 

@@ -38,6 +38,11 @@ class TuneParameters:
     potrf_base_size: int = _env("DLAF_POTRF_BASE_SIZE", 256, int)
     #: panel width of the left-looking single-device POTRF
     potrf_panel_size: int = _env("DLAF_POTRF_PANEL_SIZE", 4096, int)
+    #: distributed POTRF schedule: "kloop" (shard_map driver with explicit
+    #: panel collectives) or "partitioner" (natural-order recursion, XLA
+    #: SPMD places the collectives)
+    cholesky_distributed_algo: str = _env("DLAF_CHOLESKY_DISTRIBUTED_ALGO",
+                                          "kloop", str)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)

@@ -1,0 +1,45 @@
+"""Subsystem tests: partitioner-cholesky option, trace utils, comm miniapp."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dlaf_tpu import DistMatrix, cholesky_factorization
+from dlaf_tpu.matrix import util as mu
+from dlaf_tpu.tune import set_tune_parameters
+from dlaf_tpu.utils.trace import StageTimer, annotate, profile
+
+
+def test_partitioner_cholesky(dist_grid):
+    n, nb = 17, 4
+    a = mu.random_hermitian_positive_definite(n, np.float64, 1)
+    m = DistMatrix.from_natural(jnp.asarray(a), nb, dist_grid)
+    set_tune_parameters(cholesky_distributed_algo="partitioner")
+    try:
+        f = np.tril(np.asarray(cholesky_factorization(m).to_natural()))
+    finally:
+        set_tune_parameters(cholesky_distributed_algo="kloop")
+    np.testing.assert_allclose(f @ f.T, a, rtol=0, atol=1e-10)
+
+
+def test_stage_timer_and_trace(tmp_path):
+    t = StageTimer()
+    with annotate("stage-a"):
+        _ = jnp.ones(4).sum()
+    t.mark("a")
+    assert t.stages["a"] >= 0
+    with profile(str(tmp_path)):
+        _ = jnp.ones(4).sum()
+    import io
+    buf = io.StringIO()
+    t.report(file=buf)
+    assert "total" in buf.getvalue()
+
+
+def test_communication_miniapp(capsys):
+    from dlaf_tpu.miniapp import communication
+    rc = communication.main(["-n", "64", "-b", "16", "--nruns", "1",
+                             "--grid-rows", "2", "--grid-cols", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "GB/s" in out and "all-reduce" in out
