@@ -42,18 +42,27 @@ def rotation_schedule(n: int, b: int) -> Tuple[np.ndarray, np.ndarray,
     Rotation m acts on rows/cols ``(p[m]-1, p[m])`` and annihilates the
     element at ``(p[m], q[m])`` while the working bandwidth is ``k[m]``.
     """
-    ps, qs, ks = [], [], []
+    ps_parts, qs_parts, ks_parts = [], [], []
     for k in range(b, 1, -1):
-        for j in range(0, n - k):
-            p, q = j + k, j
-            while p <= n - 1:
-                ps.append(p)
-                qs.append(q)
-                ks.append(k)
-                q = p - 1
-                p = p + k
-    return (np.asarray(ps, np.int32), np.asarray(qs, np.int32),
-            np.asarray(ks, np.int32))
+        if n - k <= 0:
+            continue
+        j = np.arange(0, n - k, dtype=np.int64)
+        L = (n - 1 - (j + k)) // k + 1          # chase length per column
+        total = int(L.sum())
+        jj = np.repeat(j, L)
+        starts = np.cumsum(L) - L
+        r = np.arange(total, dtype=np.int64) - np.repeat(starts, L)
+        p = jj + (r + 1) * k
+        q = np.where(r == 0, jj, p - k - 1)
+        ps_parts.append(p)
+        qs_parts.append(q)
+        ks_parts.append(np.full(total, k, np.int64))
+    if not ps_parts:
+        z = np.zeros(0, np.int32)
+        return z, z.copy(), z.copy()
+    return (np.concatenate(ps_parts).astype(np.int32),
+            np.concatenate(qs_parts).astype(np.int32),
+            np.concatenate(ks_parts).astype(np.int32))
 
 
 def _chase_native(ab2: np.ndarray, n: int, b: int):
@@ -77,7 +86,9 @@ def _chase_native(ab2: np.ndarray, n: int, b: int):
     M = len(ps)
     cs = np.zeros(M, cdt)
     ss = np.zeros(M, sdt)
-    ab2c = np.ascontiguousarray(ab2)
+    # the native kernel uses LAPACK-style column-major banded storage
+    # (unit-stride inner loops); transpose at the boundary
+    ab2c = np.asfortranarray(ab2)
     fn = getattr(lib, name)
     fn.restype = ctypes.c_int
     rc = fn(ab2c.ctypes.data_as(ctypes.c_void_p),

@@ -13,11 +13,14 @@ eigenvector matrix).  Here the chase emits Givens rotations
 * ``lax.scan`` over waves keeps the XLA program small regardless of the
   O(n^2) rotation count;
 * the data-dependent inputs are only the (c, s) value streams and the phase
-  diagonal.
-
-A WY/blocked regrouping of the waves onto the MXU is the known follow-up for
-large-n throughput (the reference tunes the same trade via
-``bt_band_to_tridiag_hh_apply_group_size``).
+  diagonal;
+* for large problems the waves are *accumulated* onto the MXU: every run of
+  ``g`` consecutive waves composes to an orthogonal operator with bandwidth
+  <= g, materialized block-tridiagonally by applying the run to three
+  striped identity matrices and then applied to E as batched [3g x g] x
+  [g x ncols] gemms — the analogue of the reference's grouped reflector
+  application (``bt_band_to_tridiag_hh_apply_group_size``).  ~4x the
+  rotation flops, but at MXU instead of gather/VPU rates.
 """
 
 from __future__ import annotations
@@ -29,25 +32,139 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ...ops import tile
+from ...tune import get_tune_parameters
 from .band_to_tridiag import BandToTridiagResult, bt_wave_schedule
 
 
 @jax.jit
 def _apply_waves(E, cw, sw, p_top, p_bot):
-    """Scan the rotation waves over E's rows (Q2 = prod G^H applied)."""
+    """Scan the rotation waves over E's rows (Q2 = prod G^H applied).
+
+    Each wave (row-disjoint rotations) IS a tridiagonal matrix; applying it
+    as ``a*E + u*shift_up(E) + l*shift_down(E)`` replaces the row
+    gather/scatter (latency-bound on TPU) with contiguous elementwise work.
+    Only the small [R] -> [n] coefficient scatters remain.
+    """
+    NT = E.shape[0]
+    dt = E.dtype
 
     def body(E, wave):
         c, s, top, bot = wave
-        r1 = jnp.take(E, top, axis=0)
-        r2 = jnp.take(E, bot, axis=0)
-        # G = [[c, s], [-conj(s), c]]  =>  G^H = [[c, -s], [conj(s), c]]
-        n1 = c[:, None] * r1 - s[:, None] * r2
-        n2 = jnp.conjugate(s)[:, None] * r1 + c[:, None] * r2
-        E = E.at[top].set(n1)
-        E = E.at[bot].set(n2)
+        c = c.astype(dt)
+        s = s.astype(dt)
+        # G^H = [[c, -s], [conj(s), c]] on rows (top, bot = top + 1)
+        a = jnp.ones((NT,), dt).at[top].set(c).at[bot].set(c)
+        u = jnp.zeros((NT,), dt).at[top].set(-s)
+        l = jnp.zeros((NT,), dt).at[bot].set(jnp.conjugate(s))
+        zrow = jnp.zeros_like(E[:1])
+        e_up = jnp.concatenate([E[1:], zrow], axis=0)    # E[r + 1]
+        e_dn = jnp.concatenate([zrow, E[:-1]], axis=0)   # E[r - 1]
+        E = a[:, None] * E + u[:, None] * e_up + l[:, None] * e_dn
         return E, None
 
     E, _ = lax.scan(body, E, (cw, sw, p_top, p_bot))
+    return E
+
+
+def _shift_rows(x, shift):
+    """x'[..., i, :] = x[..., i - shift, :] with zero fill (static shift)."""
+    if shift == 0:
+        return x
+    NT = x.shape[-2]
+    zeros = jnp.zeros(x.shape[:-2] + (abs(shift), x.shape[-1]), x.dtype)
+    if shift > 0:
+        return jnp.concatenate([zeros, x[..., : NT - shift, :]], axis=-2)
+    return jnp.concatenate([x[..., -shift:, :], zeros], axis=-2)
+
+
+@partial(jax.jit, static_argnames=("s", "n"))
+def _apply_waves_banded(E, cw, sw, p_top, p_bot, s: int, n: int):
+    """Hierarchical accumulate-and-apply on the MXU.
+
+    Each group of ``s`` (power of two) waves composes — in log2(s) *batched*
+    banded-matrix products, not s sequential steps — into one orthogonal
+    operator of bandwidth s, which is applied to E as batched block-
+    tridiagonal gemms.  Sequential depth per group is O(log s) + 1 instead
+    of s, which matters because scan-step overhead (~0.2 ms on this
+    platform) dominates the direct wave-by-wave application.
+
+    ``E``: [NT, ncols], NT = Np + 2 (Np = n rounded up to s, scratch pair at
+    (Np, Np+1)); wave arrays [W, R], W a multiple of s, padded slots target
+    the scratch pair.
+    """
+    NT = E.shape[0]
+    Np = NT - 2
+    nbk = Np // s
+    W, R = cw.shape
+    ng = W // s
+    dtype = E.dtype
+
+    # static block-extraction tables: B_J[r', c] = O[(J-1)s + r', Js + c]
+    # with banded storage O_band[i, d] = O[i, i - s + d], d in [0, 2s]
+    rp = np.arange(3 * s)[None, :, None]           # r'
+    cc_ = np.arange(s)[None, None, :]              # c
+    d_raw = cc_ - rp + 2 * s                       # band diagonal index
+    valid = (d_raw >= 0) & (d_raw <= 2 * s)
+    take = np.clip(d_raw, 0, 2 * s) + s            # cols of band_pad [4s+1]
+    row_idx = (np.arange(nbk)[:, None] * s +
+               np.arange(3 * s)[None, :])          # rows of band_pad
+    d_tab = jnp.asarray(np.broadcast_to(take, (nbk, 3 * s, s)))
+    v_tab = jnp.asarray(np.broadcast_to(valid, (nbk, 3 * s, s)))
+    r_tab = jnp.asarray(row_idx)
+
+    cg = cw.reshape(ng, s, R)
+    sg = sw.reshape(ng, s, R)
+    tg = p_top.reshape(ng, s, R)
+    bg = p_bot.reshape(ng, s, R)
+
+    def mk_tridiag(c, sv, top, bot):
+        """Level-0 banded op [NT, 3]: cols (sub, diag, super)."""
+        c = c.astype(dtype)
+        sv = sv.astype(dtype)
+        a = jnp.ones((NT,), dtype).at[top].set(c).at[bot].set(c)
+        u = jnp.zeros((NT,), dtype).at[top].set(-sv)       # O[i, i+1]
+        ll = jnp.zeros((NT,), dtype).at[bot].set(jnp.conjugate(sv))
+        return jnp.stack([ll, a, u], axis=-1)
+
+    def group_body(E, xs):
+        cgi, sgi, tgi, bgi = xs
+        ops = jax.vmap(mk_tridiag)(cgi, sgi, tgi, bgi)     # [s, NT, 3]
+        h = 1
+        while ops.shape[0] > 1:
+            B = ops[0::2]          # applied first
+            A = ops[1::2]          # applied second:  C = A @ B
+            hC = 2 * h
+            npair = A.shape[0]
+            C = jnp.zeros((npair, NT, 2 * hC + 1), dtype)
+            for dA in range(2 * h + 1):
+                bsh = _shift_rows(B, h - dA)
+                C = C.at[:, :, dA:dA + 2 * h + 1].add(
+                    A[:, :, dA:dA + 1] * bsh)
+            ops = C
+            h = hC
+        band = ops[0]                                      # [NT, 2s+1]
+        # rows beyond Np (scratch) act as identity and are excluded below
+        band_pad = jnp.concatenate(
+            [jnp.zeros((s, 2 * s + 1), dtype), band[:Np],
+             jnp.zeros((s, 2 * s + 1), dtype)], axis=0)
+        band_pad = jnp.concatenate(
+            [jnp.zeros((band_pad.shape[0], s), dtype), band_pad,
+             jnp.zeros((band_pad.shape[0], s), dtype)], axis=1)
+        win = jnp.take(band_pad, r_tab, axis=0)            # [nbk, 3s, 4s+1]
+        Bblk = jnp.take_along_axis(win, d_tab, axis=2)
+        Bblk = jnp.where(v_tab, Bblk, jnp.zeros((), dtype))
+        Eb = E[:Np].reshape(nbk, s, -1)
+        C = jnp.einsum("jab,jbc->jac", Bblk, Eb,
+                       precision=tile._precision())        # [nbk, 3s, nc]
+        c0, c1, c2 = C[:, :s], C[:, s:2 * s], C[:, 2 * s:]
+        zero = jnp.zeros_like(c0[:1])
+        up = jnp.concatenate([c0[1:], zero], axis=0)
+        dn = jnp.concatenate([zero, c2[:-1]], axis=0)
+        Enew = (up + c1 + dn).reshape(Np, -1)
+        return jnp.concatenate([Enew, E[Np:]], axis=0), None
+
+    E, _ = lax.scan(group_body, E, (cg, sg, tg, bg))
     return E
 
 
@@ -74,8 +191,32 @@ def bt_band_to_tridiagonal(res: BandToTridiagResult, E):
     sw = np.asarray(res.ss)[idx]
     cw = np.where(pad, 1.0, cw)           # padding = identity rotation
     sw = np.where(pad, 0.0 * sw, sw)
-    # padded slots rotate two scratch rows appended below E (identity values,
-    # all writes identical) so real rotations never share scatter targets
+    W = cw.shape[0]
+
+    s = get_tune_parameters().bt_group_size
+    ncols = int(np.prod(E.shape[1:])) if E.ndim > 1 else 1
+    if W >= 4 * s and n >= 3 * s and ncols >= s:
+        # MXU accumulate-and-apply path; scratch pair lives at (Np, Np + 1)
+        Np = -(-n // s) * s
+        padW = (-W) % s
+        if padW:
+            cw = np.concatenate([cw, np.ones((padW, cw.shape[1]),
+                                             cw.dtype)])
+            sw = np.concatenate([sw, np.zeros((padW, sw.shape[1]),
+                                              sw.dtype)])
+            p_waves = np.concatenate(
+                [p_waves, np.zeros((padW, p_waves.shape[1]), np.int32)])
+            pad = np.concatenate(
+                [pad, np.ones((padW, pad.shape[1]), bool)])
+        p = np.where(pad, Np + 1, p_waves)
+        Ex = jnp.concatenate(
+            [E, jnp.zeros((Np + 2 - n,) + E.shape[1:], E.dtype)], axis=0)
+        Ex = _apply_waves_banded(
+            Ex, jnp.asarray(cw.astype(res.cs.dtype)), jnp.asarray(sw),
+            jnp.asarray(p - 1), jnp.asarray(p), s=s, n=n)
+        return Ex[:n]
+
+    # small problems: direct wave application (scratch pair at (n, n + 1))
     p = np.where(pad, n + 1, p_waves)
     Ex = jnp.concatenate([E, jnp.zeros((2,) + E.shape[1:], E.dtype)], axis=0)
     Ex = _apply_waves(Ex, jnp.asarray(cw.astype(res.cs.dtype)),

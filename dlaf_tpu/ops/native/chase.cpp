@@ -61,14 +61,17 @@ inline void lartg(T f, T g, typename RealOf<T>::type* c, T* s, T* r) {
   *r = sign_f * T(d);
 }
 
-// ab2: column-major-by-diagonal banded storage, (b+2) x n, row-major here:
-// ab2[i * n + j] = A[j + i, j].
+// ab2: LAPACK-style column-major banded storage with leading dimension
+// ldab = b + 2: ab2[j * ldab + i] = A[j + i, j].  Column-major makes every
+// inner loop unit-stride (the row-pair loop walks down one column, the
+// below-rows loop walks down two adjacent columns).
 template <typename T>
-int chase(T* ab2, int64_t n, int64_t /*b*/, const int32_t* ps,
+int chase(T* ab2, int64_t n, int64_t b, const int32_t* ps,
           const int32_t* qs, const int32_t* ks, int64_t M,
           typename RealOf<T>::type* cs, T* ss) {
   using R = typename RealOf<T>::type;
-  auto at = [&](int64_t i, int64_t j) -> T& { return ab2[i * n + j]; };
+  const int64_t ldab = b + 2;
+  auto at = [&](int64_t i, int64_t j) -> T& { return ab2[j * ldab + i]; };
 
   for (int64_t m = 0; m < M; ++m) {
     const int64_t p = ps[m], q = qs[m], k = ks[m];

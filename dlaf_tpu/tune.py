@@ -43,6 +43,9 @@ class TuneParameters:
     #: SPMD places the collectives)
     cholesky_distributed_algo: str = _env("DLAF_CHOLESKY_DISTRIBUTED_ALGO",
                                           "kloop", str)
+    #: wave-group size of the MXU banded back-transform (BT band->tridiag);
+    #: the reference's ``bt_band_to_tridiag_hh_apply_group_size`` analogue.
+    bt_group_size: int = _env("DLAF_BT_GROUP_SIZE", 64, int)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)
