@@ -132,7 +132,9 @@ def _panel_qr(panel):
     V's column j is zeroed entirely when tau_j == 0 (identity reflector);
     the T-factor identity below relies on this convention.
     """
-    if _geqrf is not None:
+    complex_on_tpu = _is_complex(panel.dtype) and \
+        jax.default_backend() not in ("cpu",)
+    if _geqrf is not None and not complex_on_tpu:
         return _panel_qr_geqrf(panel)
     return _panel_qr_loop(panel)
 
