@@ -25,7 +25,7 @@ eigenvector matrix).  Here the chase emits Givens rotations
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -168,6 +168,34 @@ def _apply_waves_banded(E, cw, sw, p_top, p_bot, s: int, n: int):
     return E
 
 
+@partial(jax.jit, static_argnames=("scratch_p",))
+def _expand_waves(cs, ss, idx, pad, p_waves, scratch_p: int):
+    """Device-side wave expansion: gather the compact (c, s) value streams
+    into padded [W, R] wave form (the [W, R] index tables are static per
+    (n, band) and cached on device; only the O(M) streams cross the host
+    link per call)."""
+    cw = jnp.where(pad, jnp.ones((), cs.dtype), cs[idx])
+    sw = jnp.where(pad, jnp.zeros((), ss.dtype), ss[idx])
+    p = jnp.where(pad, jnp.int32(scratch_p), p_waves)
+    return cw, sw, p
+
+
+@lru_cache(maxsize=2)
+def _device_wave_schedule(n: int, b: int, padW: int):
+    """Static per-(n, band) wave tables, resident on device."""
+    p_waves, idx_waves = bt_wave_schedule(n, b)
+    pad = idx_waves < 0
+    idx = np.where(pad, 0, idx_waves)
+    if padW:
+        R = idx.shape[1]
+        idx = np.concatenate([idx, np.zeros((padW, R), idx.dtype)])
+        pad = np.concatenate([pad, np.ones((padW, R), bool)])
+        p_waves = np.concatenate(
+            [p_waves, np.zeros((padW, R), p_waves.dtype)])
+    return (jnp.asarray(idx), jnp.asarray(pad),
+            jnp.asarray(p_waves.astype(np.int32)))
+
+
 def bt_band_to_tridiagonal(res: BandToTridiagResult, E):
     """Apply the band->tridiag transform: returns ``Q2 @ (D @ E)``.
 
@@ -184,41 +212,30 @@ def bt_band_to_tridiagonal(res: BandToTridiagResult, E):
     if M == 0 or n <= 2 or b <= 1:
         return E
 
-    p_waves, idx_waves = bt_wave_schedule(n, b)
-    pad = idx_waves < 0
-    idx = np.where(pad, 0, idx_waves)
-    cw = np.asarray(res.cs)[idx]
-    sw = np.asarray(res.ss)[idx]
-    cw = np.where(pad, 1.0, cw)           # padding = identity rotation
-    sw = np.where(pad, 0.0 * sw, sw)
-    W = cw.shape[0]
+    rdt = np.zeros((), E.dtype).real.dtype
+    sdt = E.dtype if np.iscomplexobj(res.ss) else rdt
+    cs_dev = jnp.asarray(res.cs.astype(rdt))
+    ss_dev = jnp.asarray(res.ss.astype(sdt))
 
+    p0, _ = bt_wave_schedule(n, b)
+    W = p0.shape[0]
     s = get_tune_parameters().bt_group_size
     ncols = int(np.prod(E.shape[1:])) if E.ndim > 1 else 1
-    if W >= 4 * s and n >= 3 * s and ncols >= s:
-        # MXU accumulate-and-apply path; scratch pair lives at (Np, Np + 1)
-        Np = -(-n // s) * s
-        padW = (-W) % s
-        if padW:
-            cw = np.concatenate([cw, np.ones((padW, cw.shape[1]),
-                                             cw.dtype)])
-            sw = np.concatenate([sw, np.zeros((padW, sw.shape[1]),
-                                              sw.dtype)])
-            p_waves = np.concatenate(
-                [p_waves, np.zeros((padW, p_waves.shape[1]), np.int32)])
-            pad = np.concatenate(
-                [pad, np.ones((padW, pad.shape[1]), bool)])
-        p = np.where(pad, Np + 1, p_waves)
+    banded = W >= 4 * s and n >= 3 * s and ncols >= s
+    padW = (-W) % s if banded else 0
+    scratch = (-(-n // s) * s if banded else n) + 1
+
+    idx, pad, p_waves = _device_wave_schedule(n, b, padW)
+    cw, sw, p = _expand_waves(cs_dev, ss_dev, idx, pad, p_waves,
+                              scratch_p=scratch)
+
+    if banded:
+        Np = scratch - 1
         Ex = jnp.concatenate(
             [E, jnp.zeros((Np + 2 - n,) + E.shape[1:], E.dtype)], axis=0)
-        Ex = _apply_waves_banded(
-            Ex, jnp.asarray(cw.astype(res.cs.dtype)), jnp.asarray(sw),
-            jnp.asarray(p - 1), jnp.asarray(p), s=s, n=n)
+        Ex = _apply_waves_banded(Ex, cw, sw, p - 1, p, s=s, n=n)
         return Ex[:n]
 
-    # small problems: direct wave application (scratch pair at (n, n + 1))
-    p = np.where(pad, n + 1, p_waves)
     Ex = jnp.concatenate([E, jnp.zeros((2,) + E.shape[1:], E.dtype)], axis=0)
-    Ex = _apply_waves(Ex, jnp.asarray(cw.astype(res.cs.dtype)),
-                      jnp.asarray(sw), jnp.asarray(p - 1), jnp.asarray(p))
+    Ex = _apply_waves(Ex, cw, sw, p - 1, p)
     return Ex[:n]
