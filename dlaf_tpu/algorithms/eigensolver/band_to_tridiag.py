@@ -42,6 +42,9 @@ def rotation_schedule(n: int, b: int) -> Tuple[np.ndarray, np.ndarray,
     Rotation m acts on rows/cols ``(p[m]-1, p[m])`` and annihilates the
     element at ``(p[m], q[m])`` while the working bandwidth is ``k[m]``.
     """
+    native = _schedule_native(n, b)
+    if native is not None:
+        return native
     ps_parts, qs_parts, ks_parts = [], [], []
     for k in range(b, 1, -1):
         if n - k <= 0:
@@ -63,6 +66,28 @@ def rotation_schedule(n: int, b: int) -> Tuple[np.ndarray, np.ndarray,
     return (np.concatenate(ps_parts).astype(np.int32),
             np.concatenate(qs_parts).astype(np.int32),
             np.concatenate(ks_parts).astype(np.int32))
+
+
+def _schedule_native(n: int, b: int):
+    """Native schedule fill (linear C++ loop; numpy path below is the
+    reference but spends minutes at M ~ 1e8)."""
+    import ctypes
+
+    from ...ops.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dlaf_rotation_schedule"):
+        return None
+    fn = lib.dlaf_rotation_schedule
+    fn.restype = ctypes.c_int64
+    M = fn(ctypes.c_int64(n), ctypes.c_int64(b), None, None, None)
+    ps = np.zeros(M, np.int32)
+    qs = np.zeros(M, np.int32)
+    ks = np.zeros(M, np.int32)
+    fn(ctypes.c_int64(n), ctypes.c_int64(b),
+       ps.ctypes.data_as(ctypes.c_void_p),
+       qs.ctypes.data_as(ctypes.c_void_p),
+       ks.ctypes.data_as(ctypes.c_void_p))
+    return ps, qs, ks
 
 
 def _chase_native(ab2: np.ndarray, n: int, b: int):
@@ -252,6 +277,9 @@ def bt_wave_schedule(n: int, b: int) -> Tuple[np.ndarray, np.ndarray]:
     M = len(ps)
     if M == 0:
         return np.zeros((0, 0), np.int32), np.full((0, 0), -1, np.int32)
+    native = _wave_pack_native(ps, n)
+    if native is not None:
+        return native
     levels = _wave_levels(ps, n)
     W = int(levels.max()) + 1
     counts = np.bincount(levels, minlength=W)
@@ -269,6 +297,32 @@ def bt_wave_schedule(n: int, b: int) -> Tuple[np.ndarray, np.ndarray]:
     m_sorted = rev[order]
     p_waves[lv_rev[order], ranks] = ps[m_sorted]
     idx_waves[lv_rev[order], ranks] = m_sorted
+    return p_waves, idx_waves
+
+
+def _wave_pack_native(ps: np.ndarray, n: int):
+    """Full wave packing in C++ (levels + table fill in linear passes)."""
+    import ctypes
+
+    from ...ops.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dlaf_wave_pack"):
+        return None
+    fn = lib.dlaf_wave_pack
+    fn.restype = ctypes.c_int64
+    psc = np.ascontiguousarray(ps, np.int32)
+    M = len(psc)
+    r_out = np.zeros(1, np.int64)
+    W = fn(psc.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(M),
+           ctypes.c_int64(n + 1),
+           r_out.ctypes.data_as(ctypes.c_void_p), None, None)
+    R = int(r_out[0])
+    p_waves = np.zeros((W, R), np.int32)
+    idx_waves = np.zeros((W, R), np.int32)
+    fn(psc.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(M),
+       ctypes.c_int64(n + 1), r_out.ctypes.data_as(ctypes.c_void_p),
+       p_waves.ctypes.data_as(ctypes.c_void_p),
+       idx_waves.ctypes.data_as(ctypes.c_void_p))
     return p_waves, idx_waves
 
 

@@ -121,6 +121,30 @@ int chase(T* ab2, int64_t n, int64_t b, const int32_t* ps,
 
 extern "C" {
 
+// Rotation schedule (static in (n, b)): the Python/numpy builder spends
+// minutes at M ~ 1e8; this is a linear fill.  Call with ps == nullptr to
+// get the count.
+int64_t dlaf_rotation_schedule(int64_t n, int64_t b, int32_t* ps,
+                               int32_t* qs, int32_t* ks) {
+  int64_t m = 0;
+  for (int64_t k = b; k >= 2; --k) {
+    for (int64_t j = 0; j < n - k; ++j) {
+      int64_t p = j + k, q = j;
+      while (p <= n - 1) {
+        if (ps != nullptr) {
+          ps[m] = static_cast<int32_t>(p);
+          qs[m] = static_cast<int32_t>(q);
+          ks[m] = static_cast<int32_t>(k);
+        }
+        ++m;
+        q = p - 1;
+        p = p + k;
+      }
+    }
+  }
+  return m;
+}
+
 // ASAP wave levels for the *reversed* rotation stream (back-transform
 // order): level[m] = 1 + max(level of any later rotation sharing a row).
 // Sequential recurrence -> native; the wave packing itself is vectorized in
@@ -142,6 +166,60 @@ int dlaf_wave_levels(const int32_t* ps, int64_t M, int64_t n,
   *n_levels = maxlv + 1;
   delete[] last;
   return 0;
+}
+
+// Full wave packing in one call: compute levels of the reversed stream and
+// fill the [W, R] wave tables (padding slots hold idx = -1).  Returns W;
+// writes R to r_out.  Two-phase: call with p_waves == nullptr to size the
+// tables first.
+int64_t dlaf_wave_pack(const int32_t* ps, int64_t M, int64_t n,
+                       int64_t* r_out, int32_t* p_waves,
+                       int32_t* idx_waves) {
+  if (M == 0) {
+    *r_out = 0;
+    return 0;
+  }
+  int32_t* levels = new int32_t[M];
+  {
+    int32_t* last = new int32_t[n];
+    for (int64_t i = 0; i < n; ++i) last[i] = -1;
+    for (int64_t m = M - 1; m >= 0; --m) {
+      const int64_t p = ps[m];
+      int32_t lv = last[p - 1] > last[p] ? last[p - 1] : last[p];
+      lv += 1;
+      levels[m] = lv;
+      last[p - 1] = lv;
+      last[p] = lv;
+    }
+    delete[] last;
+  }
+  int64_t W = 0;
+  for (int64_t m = 0; m < M; ++m)
+    if (levels[m] + 1 > W) W = levels[m] + 1;
+  int64_t* counts = new int64_t[W]();
+  for (int64_t m = 0; m < M; ++m) counts[levels[m]] += 1;
+  int64_t R = 0;
+  for (int64_t w = 0; w < W; ++w)
+    if (counts[w] > R) R = counts[w];
+  *r_out = R;
+  if (p_waves != nullptr) {
+    for (int64_t i = 0; i < W * R; ++i) {
+      p_waves[i] = 0;
+      idx_waves[i] = -1;
+    }
+    int64_t* cursor = new int64_t[W]();
+    // application order = reversed m
+    for (int64_t m = M - 1; m >= 0; --m) {
+      const int64_t lv = levels[m];
+      const int64_t slot = cursor[lv]++;
+      p_waves[lv * R + slot] = ps[m];
+      idx_waves[lv * R + slot] = static_cast<int32_t>(m);
+    }
+    delete[] cursor;
+  }
+  delete[] counts;
+  delete[] levels;
+  return W;
 }
 
 int dlaf_chase_s(float* ab2, int64_t n, int64_t b, const int32_t* ps,
