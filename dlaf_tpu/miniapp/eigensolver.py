@@ -23,15 +23,26 @@ def main(argv=None):
     p = opt.make_parser("eigensolver", m_default=2048, nb_default=256)
     p.add_argument("--band-size", type=int, default=None)
     p.add_argument("--percent-evals", type=float, default=100.0)
+    p.add_argument("--input-file", default=None,
+                   help="matrix snapshot (.npz) to solve instead of a "
+                        "random one (reference --input-file, HDF5 there)")
     args = opt.parse_with_tune(p, argv)
     dtype = opt.dtype_of(args)
     grid = opt.build_grid(args)
     n, nb = args.matrix_size, args.block_size
+
+    if args.input_file:
+        from ..matrix.io import load_matrix
+        loaded = load_matrix(args.input_file, block_size=nb, grid=grid)
+        n = loaded.size[0]
+        args.matrix_size = n
     n_ev = max(0, min(n, int(round(n * args.percent_evals / 100.0))))
 
     from .. import hermitian_eigensolver
 
     def make_input():
+        if args.input_file:
+            return {"a": np.asarray(loaded.to_natural()), "mat": loaded}
         a = mu.random_hermitian(n, dtype, seed=9)
         return {"a": a,
                 "mat": DistMatrix.from_natural(jnp.asarray(a), nb, grid)}
