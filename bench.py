@@ -47,22 +47,25 @@ def main():
     from dlaf_tpu.tune import set_tune_parameters
 
     dtype = jnp.float32
-    n, nb = 8192, 1024
+    # largest single-chip size the tunneled v5e handles (n=32768 exceeds
+    # device memory during compile); bigger n amortizes the panel work
+    n, nb = 16384, 2048
     set_tune_parameters(matmul_precision="highest")
 
     a = mu.random_hermitian_positive_definite(n, np.float32, seed=0)
     mat = DistMatrix.from_natural(jnp.asarray(a, dtype), nb)
+    del a
 
     chol = jax.jit(lambda d: cholesky_factorization(mat.with_data(d)).data)
-    t = _slope_time(chol, mat.data)
+    t = _slope_time(chol, mat.data, k_hi=3)
     flops = total_ops(dtype, n ** 3 / 6, n ** 3 / 6)
     gflops = flops / t / 1e9
 
     # matmul roofline at the same dtype/precision
-    x = jnp.asarray(mu.random(2048, 2048, np.float32, 1), dtype)
+    x = jnp.asarray(mu.random(4096, 4096, np.float32, 1), dtype)
     mm = jax.jit(lambda u: jnp.matmul(u, u, precision="highest") * 1e-3)
-    tmm = _slope_time(mm, x, k_hi=33)
-    mm_gflops = 2 * 2048 ** 3 / tmm / 1e9
+    tmm = _slope_time(mm, x, k_hi=17)
+    mm_gflops = 2 * 4096 ** 3 / tmm / 1e9
 
     target = 0.85 * mm_gflops
     print(json.dumps({
