@@ -261,15 +261,25 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32
 
     lam = jnp.zeros((n,), dt)
     Q = jnp.zeros((n, n), dt)
-    for (i0, i2) in leaves:
-        ls = i2 - i0
-        block = jnp.diag(lax.dynamic_slice(dc, (i0,), (ls,)))
+
+    def leaf_block(i0, ls):
+        block = jnp.diag(dc[i0:i0 + ls])
         if ls > 1:
-            eb = lax.dynamic_slice(e, (i0,), (ls - 1,))
+            eb = e[i0:i0 + ls - 1]
             block = block + jnp.diag(eb, 1) + jnp.diag(eb, -1)
-        w, v = jnp.linalg.eigh(block)
-        lam = lam.at[i0:i2].set(w)
-        Q = Q.at[i0:i2, i0:i2].set(v)
+        return block
+
+    # batch equal-size leaves into one vmapped eigh (the reference solves
+    # leaves as independent stedc tasks; here one batched MXU/QR kernel)
+    by_size = {}
+    for (i0, i2) in leaves:
+        by_size.setdefault(i2 - i0, []).append(i0)
+    for ls, starts in by_size.items():
+        blocks = jnp.stack([leaf_block(i0, ls) for i0 in starts])
+        w, v = jnp.linalg.eigh(blocks)
+        for t, i0 in enumerate(starts):
+            lam = lam.at[i0:i0 + ls].set(w[t])
+            Q = Q.at[i0:i0 + ls, i0:i0 + ls].set(v[t])
 
     for (i0, i1, i2) in merges:
         m = i2 - i0
