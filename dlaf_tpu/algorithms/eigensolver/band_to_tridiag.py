@@ -178,14 +178,11 @@ def chase_values(ab2: np.ndarray, n: int, b: int):
             ab2[p - 1 - col, col] = c * a1 + s * a2
             ab2[p - col, col] = -np.conj(s) * a1 + c * a2
 
-        # 2x2 diagonal block (d1, off, d2) -> G B G^H
+        # 2x2 diagonal block (d1, off, d2) -> G B G^H: row update (r1, r2)
+        # then column update (matches the C++ kernel in ops/native/chase.cpp)
         d1 = ab2[0, p - 1]
         off = ab2[1, p - 1]  # A[p, p-1]
         d2 = ab2[0, p]
-        nd1 = (c * d1 + s * off) * c + (c * np.conj(off) + s * d2) * \
-            np.conj(s)
-        noff = -np.conj(s) * (c * d1 + s * off) + c * (c * off + s * d2)
-        # recompute noff consistently: row update then column update
         r1 = (c * d1 + s * off, c * np.conj(off) + s * d2)
         r2 = (-np.conj(s) * d1 + c * off, -np.conj(s) * np.conj(off) + c * d2)
         nd1 = c * r1[0] + np.conj(s) * r1[1]

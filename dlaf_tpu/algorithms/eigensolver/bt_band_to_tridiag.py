@@ -204,13 +204,18 @@ def bt_band_to_tridiagonal(res: BandToTridiagResult, E):
     """
     n, b = res.n, res.band
     E = jnp.asarray(E)
+    squeeze = E.ndim == 1
+    if squeeze:
+        E = E[:, None]
+    if E.ndim != 2:
+        raise ValueError(f"E must be 1-D or 2-D, got shape {E.shape}")
     if np.iscomplexobj(res.phases):
         E = E.astype(res.phases.dtype)
     E = jnp.asarray(res.phases)[:, None] * E
 
     M = len(res.cs)
     if M == 0 or n <= 2 or b <= 1:
-        return E
+        return E[:, 0] if squeeze else E
 
     rdt = np.zeros((), E.dtype).real.dtype
     sdt = E.dtype if np.iscomplexobj(res.ss) else rdt
@@ -220,6 +225,10 @@ def bt_band_to_tridiagonal(res: BandToTridiagResult, E):
     p0, _ = bt_wave_schedule(n, b)
     W = p0.shape[0]
     s = get_tune_parameters().bt_group_size
+    # the pairwise compose loop in _apply_waves_banded needs a power of two;
+    # round a user-set value (DLAF_BT_GROUP_SIZE) down rather than erroring
+    # at trace time with an opaque shape mismatch
+    s = max(1, 1 << (int(s).bit_length() - 1)) if s >= 1 else 1
     ncols = int(np.prod(E.shape[1:])) if E.ndim > 1 else 1
     banded = W >= 4 * s and n >= 3 * s and ncols >= s
     padW = (-W) % s if banded else 0
@@ -234,8 +243,10 @@ def bt_band_to_tridiagonal(res: BandToTridiagResult, E):
         Ex = jnp.concatenate(
             [E, jnp.zeros((Np + 2 - n,) + E.shape[1:], E.dtype)], axis=0)
         Ex = _apply_waves_banded(Ex, cw, sw, p - 1, p, s=s, n=n)
-        return Ex[:n]
+        out = Ex[:n]
+        return out[:, 0] if squeeze else out
 
     Ex = jnp.concatenate([E, jnp.zeros((2,) + E.shape[1:], E.dtype)], axis=0)
     Ex = _apply_waves(Ex, cw, sw, p - 1, p)
-    return Ex[:n]
+    out = Ex[:n]
+    return out[:, 0] if squeeze else out

@@ -1,0 +1,153 @@
+"""Back-transform of the Householder band->tridiag stage (MXU compact-WY).
+
+Equivalent of the reference's ``bt_band_to_tridiagonal``
+(``eigensolver/bt_band_to_tridiag/impl.h``): applies the bulge-chasing
+reflectors of ``hh_chase.py`` to the eigenvector matrix ``E`` as *blocked*
+compact-WY updates, grouped exactly like the reference (``impl.h:666-707``:
+"sweeps are on diagonals, steps are on verticals" — groups of consecutive
+sweeps, window per chase step, windows applied in ascending step order and
+groups from the last to the first).
+
+Validity of the regrouping (vs strict reverse-chronological application):
+target order puts window ``t`` right of window ``t' > t``; the only pairs
+whose relative order flips vs chronological are ``H_{s,t}``/``H_{s',t'}``
+with ``s < s'`` and ``t < t'``, whose row ranges
+``[1+s+tb, +b)`` and ``[1+s'+t'b, +b)`` are disjoint (distance
+``(t'-t)b + (s'-s) >= b+1``), so they commute.
+
+Each window update is ``E_w <- E_w - V (T (V^H E_w))`` with the trapezoid
+``V [b+g-1, g]`` (column ``c`` = sweep ``s0+c``'s reflector at row offset
+``c``) and forward compact-WY ``T`` — three MXU gemms per window, scanned
+over the whole window sequence in a single ``lax.scan`` (window V matrices
+are gathered from the compact reflector stream *inside* the scan body, so
+device memory stays at the stream's ~n^2/2 values).  Columns of ``E`` are
+untouched by the row windows, so a column-sharded ``E`` distributes the
+back-transform with no collectives at all.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ...ops import tile
+from ...tune import get_tune_parameters
+from .hh_chase import HHChaseResult, hh_schedule, sweep_reflector_counts
+
+
+@lru_cache(maxsize=4)
+def bt_hh_window_schedule(n: int, b: int, g: int):
+    """Static window sequence for the grouped back-transform.
+
+    Returns ``(widx [Nw, g], r0 [Nw])``: window ``w`` applies reflectors
+    ``widx[w, c]`` (index into the sweep-major stream; -1 = absent) of
+    sweeps ``s0 + c`` at matrix rows ``[r0[w], r0[w] + b + g - 1)``.
+    Sequence order = application order: groups of ``g`` consecutive sweeps
+    from the last group to the first, windows within a group by ascending
+    chase step.
+    """
+    off, R = hh_schedule(n, b)
+    cnt = sweep_reflector_counts(n, b)
+    nsweeps = len(cnt)
+    if R == 0:
+        return np.zeros((0, g), np.int32), np.zeros(0, np.int32)
+    widx_rows = []
+    r0_rows = []
+    ngroups = -(-nsweeps // g)
+    for k in range(ngroups - 1, -1, -1):
+        s0 = k * g
+        gs = min(g, nsweeps - s0)
+        tmax = int(cnt[s0:s0 + gs].max())
+        for t in range(tmax):
+            row = np.full(g, -1, np.int64)
+            for c in range(gs):
+                if t < cnt[s0 + c]:
+                    row[c] = off[s0 + c] + t
+            widx_rows.append(row)
+            r0_rows.append(1 + s0 + t * b)
+    return (np.asarray(widx_rows, np.int32),
+            np.asarray(r0_rows, np.int32))
+
+
+@partial(jax.jit, static_argnames=("b", "g"))
+def _bt_hh_scan(E, stream, widx, r0, b: int, g: int):
+    """Scan the window sequence over (row-padded) E."""
+    hw = b + g - 1
+    dtype = E.dtype
+    nc = E.shape[1]
+
+    # static placement tables: Vwin[i, c] = vrow[c, i - c] (slot 0 = the
+    # implied 1), zero outside [c, c+b)
+    ii = np.arange(hw)[:, None]
+    cc = np.arange(g)[None, :]
+    src = ii - cc
+    valid = (src >= 0) & (src < b)
+    src_tab = jnp.asarray(np.where(valid, src, 0))
+    valid_tab = jnp.asarray(valid)
+
+    def body(E, xs):
+        w_idx, row0 = xs
+        vrows = jnp.take(stream, jnp.maximum(w_idx, 0), axis=0)   # [g, b]
+        # absent or tau==0 reflectors contribute identity: zero the whole
+        # column (t_factor's tau-safe trick requires all-zero columns)
+        keep = (w_idx >= 0) & (vrows[:, 0] != 0)           # [g]
+        taus = jnp.where(keep, vrows[:, 0], jnp.zeros((), dtype))
+        vrows = vrows.at[:, 0].set(jnp.ones((), dtype))    # implied v[0]=1
+        vrows = jnp.where(keep[:, None], vrows, jnp.zeros((), dtype))
+        # well-formed trapezoid V [hw, g]
+        V = jnp.where(valid_tab, vrows.T[src_tab, jnp.arange(g)[None, :]],
+                      jnp.zeros((), dtype))
+        # forward compact-WY T: T^{-1} = diag(1/tau) + triu(V^H V, 1)
+        tau_safe = jnp.where(taus == 0, jnp.ones_like(taus), taus)
+        vhv = tile.dot(tile.adj(V), V)
+        tinv = jnp.triu(vhv, 1) + jnp.diag(1.0 / tau_safe)
+        zero = jnp.zeros((), row0.dtype)
+        Ew = lax.dynamic_slice(E, (row0, zero), (hw, nc))
+        Y = tile.dot(tile.adj(V), Ew)                      # [g, nc]
+        Z = lax.linalg.triangular_solve(tinv, Y, left_side=True,
+                                        lower=False)
+        Ew = Ew - tile.dot(V, Z)
+        E = lax.dynamic_update_slice(E, Ew, (row0, zero))
+        return E, None
+
+    E, _ = lax.scan(body, E, (widx, r0))
+    return E
+
+
+def bt_hh_apply(res: HHChaseResult, E):
+    """Apply the band->tridiag transform: returns ``Q @ (D @ E)``.
+
+    ``E``: ``[n, ncols]`` eigenvectors of the real tridiagonal (real); the
+    result is complex iff the band input was complex.
+    """
+    n, b = res.n, res.band
+    E = jnp.asarray(E)
+    squeeze = E.ndim == 1
+    if squeeze:
+        E = E[:, None]
+    if E.shape[0] != n:
+        raise ValueError(f"E rows {E.shape[0]} != n {n}")
+    if res.phases is not None:
+        E = E.astype(res.phases.dtype)
+        E = jnp.asarray(res.phases)[:, None] * E
+
+    R = res.V.shape[0]
+    if R == 0 or n <= 2 or b <= 1:
+        return E[:, 0] if squeeze else E
+
+    g = int(get_tune_parameters().bt_group_size)
+    g = max(1, min(g, max(n - 2, 1)))
+    widx, r0 = bt_hh_window_schedule(n, b, g)
+
+    hw = b + g - 1
+    pad = max(0, (max(int(r0.max()) + hw, n) - n)) if len(r0) else 0
+    Ex = jnp.concatenate(
+        [E, jnp.zeros((pad,) + E.shape[1:], E.dtype)], axis=0)
+    Ex = _bt_hh_scan(Ex, jnp.asarray(res.V), jnp.asarray(widx),
+                     jnp.asarray(r0), b=b, g=g)
+    out = Ex[:n]
+    return out[:, 0] if squeeze else out

@@ -31,7 +31,9 @@ from ..internal import natural_exact, store_natural_exact
 from ..solver.triangular import triangular_solver
 from .band_to_tridiag import band_to_tridiagonal
 from .bt_band_to_tridiag import bt_band_to_tridiagonal
+from .bt_hh import bt_hh_apply
 from .bt_reduction_to_band import bt_reduction_to_band
+from .hh_chase import hh_band_to_tridiagonal
 from .gen_to_std import generalized_to_standard
 from .reduction_to_band import extract_band, reduction_to_band
 from .tridiag_solver import tridiagonal_eigensolver
@@ -81,7 +83,11 @@ def hermitian_eigensolver(
 
     mat_hh, taus = reduction_to_band(a, band)
     ab = np.asarray(extract_band(mat_hh, band))
-    res = band_to_tridiagonal(ab, band)
+    use_hh = get_tune_parameters().band_to_tridiag_algo != "givens"
+    if use_hh:
+        res = hh_band_to_tridiagonal(ab, band)
+    else:
+        res = band_to_tridiagonal(ab, band)
 
     lam, z = tridiagonal_eigensolver(jnp.asarray(res.d, rdtype),
                                      jnp.asarray(res.e, rdtype),
@@ -89,7 +95,10 @@ def hermitian_eigensolver(
     lam = lam[:n_ev]
     z = z[:, :n_ev]
 
-    e2 = bt_band_to_tridiagonal(res, z)
+    if use_hh:
+        e2 = bt_hh_apply(res, z)
+    else:
+        e2 = bt_band_to_tridiagonal(res, z)
     if e2.dtype != a.dtype:
         e2 = e2.astype(a.dtype)
     e = bt_reduction_to_band(band, e2, mat_hh, taus)

@@ -1,0 +1,236 @@
+"""Householder bulge-chasing band -> tridiagonal reduction (hb2st-style).
+
+Second implementation of the reference's ``band_to_tridiagonal``
+(``eigensolver/band_to_tridiag/mc.h`` — CPU-only ``SweepWorker`` running
+length-``b`` Householder sweeps), replacing the Givens chase in
+``band_to_tridiag.py`` as the default: one reflector annihilates ``b-1``
+entries, so the value stream shipped from the host chase to the device
+back-transform is ``~n^2/2`` scalars instead of the Givens chase's
+``~2 n^2 ln b`` — and, crucially, the back-transform becomes *blocked*
+(compact-WY) reflector application: pure MXU gemms (``bt_hh.py``), the TPU
+analogue of the reference's grouped HH apply
+(``bt_band_to_tridiag/impl.h``, ``bt_band_to_tridiag_hh_apply_group_size``).
+
+Algorithm (standard successive band reduction, one stage b -> 1):
+
+* sweep ``s`` (for ``s = 0 .. n-3``) annihilates column ``s`` below the
+  first subdiagonal with a length-``min(b, n-1-s)`` reflector;
+* the two-sided application to the diagonal block spills a bulge into the
+  off-diagonal block below, whose first column is annihilated by the next
+  reflector of the sweep — positions are static: reflector ``(s, t)`` acts
+  on rows ``[1+s+t*b, 1+s+t*b+l)``, ``l = min(b, n-1-s-t*b)``, and exists
+  iff ``l >= 2``;
+* the leftover bulge columns are picked up by the *following* sweeps (the
+  interleaving invariant of bulge chasing); running sweeps sequentially is
+  a valid linearization of the reference's pipelined worker DAG;
+* by the LAPACK ``larfg`` convention the produced subdiagonal is real, so
+  no phase diagonal is needed (unlike the Givens chase).
+
+The value recurrence is sequential and stays on the host (the reference
+keeps this stage CPU-only as well): a C++ kernel (``ops/native/
+hh_chase.cpp``) with pipelined-sweep OpenMP parallelism, with this module's
+numpy implementation as reference/fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+
+import numpy as np
+
+
+def sweep_reflector_counts(n: int, b: int) -> np.ndarray:
+    """Number of chase reflectors per sweep; sweep ``s`` has reflectors
+    ``t = 0 .. (n-3-s)//b`` (those with length >= 2)."""
+    if n < 3 or b < 2:        # band 1 is already tridiagonal
+        return np.zeros(0, np.int64)
+    s = np.arange(max(n - 2, 0), dtype=np.int64)
+    cnt = np.where(n - 1 - s >= 2, (n - 3 - s) // b + 1, 0)
+    return cnt
+
+
+@lru_cache(maxsize=8)
+def hh_schedule(n: int, b: int):
+    """Static reflector table: ``(offsets[s], total)`` with sweep-major
+    reflector order; reflector ``r = offsets[s] + t``."""
+    cnt = sweep_reflector_counts(n, b)
+    off = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cnt, out=off[1:])
+    return off, int(off[-1])
+
+
+def _larfg(x: np.ndarray):
+    """LAPACK larfg: H = I - tau v v^H with v[0] = 1, H^H x = beta e1,
+    beta real.  Returns (v, tau, beta)."""
+    alpha = x[0]
+    xnorm = float(np.linalg.norm(x[1:]))
+    if xnorm == 0.0 and np.imag(alpha) == 0.0:
+        v = np.zeros_like(x)
+        v[0] = 1.0
+        return v, x.dtype.type(0), np.real(alpha)
+    beta = -np.sign(np.real(alpha)) * np.hypot(abs(alpha), xnorm)
+    if beta == 0:
+        beta = -np.hypot(abs(alpha), xnorm)
+    tau = (beta - alpha) / beta
+    v = x / (alpha - beta)
+    v[0] = 1.0
+    return v, x.dtype.type(tau), float(beta)
+
+
+@dataclasses.dataclass
+class HHChaseResult:
+    """Tridiagonal + the reflector stream for the back-transform.
+
+    ``Band = Q T Q^H`` with ``Q = H_1 H_2 ... H_R`` (chronological order);
+    ``V[r, 0] = tau_r``, ``V[r, 1:l] = v_r[1:]`` (``v_r[0] = 1`` implied).
+    The reference returns ``{tridiagonal, hh_reflectors}``
+    (``band_to_tridiag/api.h``) with the same compact-copy convention
+    (``mc.h`` ``compact_copy_to_tile``-equivalent layout).
+    """
+
+    d: np.ndarray        # [n] real diagonal
+    e: np.ndarray        # [n-1] real nonneg subdiagonal
+    V: np.ndarray        # [R, b] reflector stream, sweep-major
+    n: int
+    band: int
+    #: complex input: unitary diagonal D with T_out = D^H T_chase D real
+    #: nonnegative (the larfg convention leaves only the *last* subdiagonal
+    #: complex for band >= 2, but band == 1 needs the full recurrence); the
+    #: back-transform computes E <- Q (D E), i.e. scales row j by phases[j]
+    #: before the reflector stream.  None for real input (e stays signed).
+    phases: np.ndarray | None = None
+
+
+def hh_chase_numpy(ab2: np.ndarray, n: int, b: int) -> np.ndarray:
+    """Reference/fallback chase over banded storage ``ab2[(2b+1), n]``
+    (``ab2[i, j] = A[j+i, j]``), in place; returns the V stream."""
+    dtype = ab2.dtype
+    off, R = hh_schedule(n, b)
+    V = np.zeros((R, b), dtype)
+
+    def diag_block(j, l):
+        D = np.zeros((l, l), dtype)
+        for c in range(l):
+            D[c:, c] = ab2[0:l - c, j + c]
+        Df = D + np.tril(D, -1).conj().T
+        return Df
+
+    def put_diag_block(j, l, Df):
+        for c in range(l):
+            ab2[0:l - c, j + c] = Df[c:, c]
+
+    def off_block(j, l, m):
+        B = np.empty((m, l), dtype)
+        for c in range(l):
+            B[:, c] = ab2[l - c:l - c + m, j + c]
+        return B
+
+    def put_off_block(j, l, m, B):
+        for c in range(l):
+            ab2[l - c:l - c + m, j + c] = B[:, c]
+
+    for s in range(max(n - 2, 0)):
+        if n - 1 - s < 2:
+            continue
+        l0 = min(b, n - 1 - s)
+        x = ab2[1:1 + l0, s].copy()
+        v, tau, beta = _larfg(x)
+        ab2[1, s] = beta
+        ab2[2:1 + l0, s] = 0
+        t = 0
+        while True:
+            j = 1 + s + t * b
+            l = min(b, n - j)
+            r = off[s] + t
+            V[r, 0] = tau
+            V[r, 1:l] = v[1:l]
+            # two-sided H^H D H on the diagonal block
+            D = diag_block(j, l)
+            w = tau * (D @ v)
+            w = w - (tau * np.vdot(w, v) / 2) * v   # (tau/2)(w^H v) v
+            D = D - np.outer(w, v.conj()) - np.outer(v, w.conj())
+            put_diag_block(j, l, D)
+            m = min(b, n - b - j)
+            if m <= 0:
+                break
+            B = off_block(j, l, m)
+            B = B - tau * np.outer(B @ v, v.conj())
+            if m > 1:
+                v2, tau2, beta2 = _larfg(B[:, 0].copy())
+                B[0, 0] = beta2
+                B[1:, 0] = 0
+                # left-apply H^H to the remaining bulge columns
+                B[:, 1:] -= np.conj(tau2) * np.outer(v2,
+                                                     v2.conj() @ B[:, 1:])
+            put_off_block(j, l, m, B)
+            if m <= 1:
+                break
+            v = v2          # next block size l' = min(b, n-j-b) == m
+            tau = tau2
+            t += 1
+    return V
+
+
+def _hh_chase_native(ab2: np.ndarray, n: int, b: int):
+    """Dispatch to the C++ kernel; None -> numpy fallback."""
+    import ctypes
+
+    from ...ops.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    names = {np.dtype(np.float32): "dlaf_hh_chase_s",
+             np.dtype(np.float64): "dlaf_hh_chase_d",
+             np.dtype(np.complex64): "dlaf_hh_chase_c",
+             np.dtype(np.complex128): "dlaf_hh_chase_z"}
+    name = names.get(ab2.dtype)
+    if name is None or not hasattr(lib, name):
+        return None
+    off, R = hh_schedule(n, b)
+    V = np.zeros((R, b), ab2.dtype)
+    # column-major banded storage for unit-stride column access in C++
+    abf = np.asfortranarray(ab2)
+    fn = getattr(lib, name)
+    fn.restype = ctypes.c_int
+    rc = fn(abf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(n), ctypes.c_int64(b),
+            V.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(R))
+    if rc != 0:
+        return None
+    ab2[...] = abf
+    return V
+
+
+def hh_band_to_tridiagonal(ab: np.ndarray, band: int) -> HHChaseResult:
+    """Reduce lower-banded storage ``ab[(band+1), n]`` to real tridiagonal
+    via Householder bulge chasing."""
+    bp1, n = ab.shape
+    if bp1 != band + 1:
+        raise ValueError(f"ab rows {bp1} != band+1 {band + 1}")
+    dtype = ab.dtype
+
+    ab2 = np.zeros((2 * band + 1, n), dtype)
+    ab2[: band + 1] = ab
+    if n > 2 and band > 1:
+        V = _hh_chase_native(ab2, n, band)
+        if V is None:
+            V = hh_chase_numpy(ab2, n, band)
+    else:
+        _, R = hh_schedule(n, band)
+        V = np.zeros((R, band), dtype)
+
+    d = np.asarray(ab2[0, :].real, np.float64)
+    e_c = ab2[1, : max(n - 1, 0)]
+    phases = None
+    if np.iscomplexobj(ab2):
+        # D^H T D with D[j+1] = D[j] * (e_j / |e_j|) makes e real nonneg
+        phases = np.ones(n, dtype)
+        e_c = e_c.copy()
+        for j in range(n - 1):
+            mag = abs(e_c[j])
+            ph = e_c[j] / mag if mag != 0.0 else 1.0
+            phases[j + 1] = phases[j] * ph
+            e_c[j] = mag
+    e = np.asarray(e_c.real, np.float64)
+    return HHChaseResult(d, e, V, n, band, phases)

@@ -103,8 +103,13 @@ def _writeback(dst: np.ndarray, mat, desc: DLAF_descriptor):
     out = np.asarray(mat.to_natural())
     if dst.shape == (desc.m, desc.n):
         dst[...] = out
-    else:
+    elif out.size == dst.size:
         dst[...] = out.reshape(dst.shape, order="F")
+    else:
+        # partial-spectrum result into a flat (Fortran) full-size buffer:
+        # fill the leading columns, leave the rest untouched
+        flat = dst.reshape(-1)
+        flat[: out.size] = out.ravel(order="F")
 
 
 # -- per-type entry points ----------------------------------------------------
@@ -152,7 +157,20 @@ def _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz,
 
 
 def _make_typed(fn, dtype):
+    """Per-dtype entry point (reference naming ``dlaf_<algo>_<s|d|c|z>``).
+
+    Unlike the C original there is no compile-time typing, so the wrapper
+    validates every array argument against its declared dtype (mixing
+    ``dlaf_cholesky_s`` with f64 buffers is a caller bug, not a cast)."""
+    want = np.dtype(dtype)
+    rdt = np.dtype(np.zeros((), want).real.dtype)
+
     def typed(*args, **kw):
+        for a in list(args) + list(kw.values()):
+            if isinstance(a, np.ndarray) and a.dtype not in (want, rdt):
+                raise TypeError(
+                    f"buffer dtype {a.dtype} does not match entry point "
+                    f"dtype {want}")
         return fn(*args, **kw)
     typed.dtype = dtype
     return typed

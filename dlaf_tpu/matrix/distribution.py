@@ -45,8 +45,7 @@ class Distribution:
 
     ``block_size`` is the tile size (the reference distinguishes block and
     tile size, with tiles subdividing blocks — ``distribution.h:120-180``;
-    here tile == block, the reference's default, with retiling handled by
-    :meth:`retiled` creating a compatible finer distribution).
+    here tile == block, the reference's default).
     """
 
     size: Tuple[int, int]

@@ -34,6 +34,20 @@ def run(name, args, make_input, run_alg, flops_fn, check_fn=None):
                 args.check == "all" or
                 (args.check == "last" and r == args.nruns - 1)):
             resid = check_fn(state, run_alg(state))
-            status = "PASSED" if resid == resid and resid < 1e-1 else "CHECK"
-            print(f"check: residual {resid:.3e} [{status}]")
+            tol = check_tolerance(dtype, args.matrix_size)
+            ok = resid == resid and resid < tol
+            status = "PASSED" if ok else "FAILED"
+            print(f"check: residual {resid:.3e} (tol {tol:.1e}) [{status}]")
+            if not ok:
+                return 1
     return 0
+
+
+def check_tolerance(dtype, n: int) -> float:
+    """Type-scaled residual threshold, reference-style (``check_cholesky``
+    norm-ratio bounds in ``miniapp_cholesky.cpp``): the miniapp checks return
+    relative Frobenius residuals, expected O(eps * sqrt(n)) for backward-
+    stable algorithms; allow a generous constant but fail anything that is
+    wrong rather than merely inaccurate."""
+    eps = float(np.finfo(np.zeros((), dtype).real.dtype).eps)
+    return 200.0 * eps * max(float(n), 1.0) ** 0.5

@@ -24,13 +24,15 @@ _TRIED = False
 
 
 def _build() -> str | None:
-    src = os.path.join(_HERE, "chase.cpp")
+    srcs = [os.path.join(_HERE, f) for f in ("chase.cpp", "hh_chase.cpp")]
     out = os.path.join(_HERE, "libdlaf_native.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    if os.path.exists(out) and all(
+            os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs):
         return out
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           *srcs, "-o", out, "-lpthread"]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return out
     except Exception:
         return None

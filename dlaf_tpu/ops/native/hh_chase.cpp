@@ -1,0 +1,251 @@
+// Householder bulge-chase kernel for band -> tridiagonal reduction.
+//
+// Native counterpart of hh_chase.py::hh_chase_numpy (hb2st-style successive
+// band reduction; the reference keeps this stage CPU-only as well,
+// eth-cscs/DLA-Future eigensolver/band_to_tridiag/mc.h SweepWorker).  The
+// value recurrence is sequential per sweep; sweeps are pipelined across
+// threads with the classic staggered schedule: step t of sweep s may run
+// once step t+2 of sweep s-1 has completed (their row ranges are disjoint
+// from then on).
+//
+// Storage: column-major banded, ld = 2b+1, ab[i + j*ld] = A[j+i, j]
+// (unit-stride columns).  Output stream V[R, b] row-major, sweep-major
+// order: V[r*b + 0] = tau_r, V[r*b + 1 .. ] = v_r[1:], v_r[0] = 1 implied.
+
+#include <atomic>
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+template <typename T> struct RealOf { using type = T; };
+template <typename R> struct RealOf<std::complex<R>> { using type = R; };
+
+template <typename T> inline typename RealOf<T>::type abs2(T x) {
+  return std::norm(x);
+}
+template <> inline float abs2<float>(float x) { return x * x; }
+template <> inline double abs2<double>(double x) { return x * x; }
+
+template <typename T> inline T conj_(T x) { return x; }
+template <typename R> inline std::complex<R> conj_(std::complex<R> x) {
+  return std::conj(x);
+}
+template <typename T> inline typename RealOf<T>::type real_(T x) { return x; }
+template <typename R> inline R real_(std::complex<R> x) { return x.real(); }
+template <typename T> inline typename RealOf<T>::type imag_(T) { return 0; }
+template <typename R> inline R imag_(std::complex<R> x) { return x.imag(); }
+
+// LAPACK larfg: H = I - tau v v^H, v[0] = 1, H^H x = beta e1 (beta real).
+// x (length l) is overwritten with v[1:] in x[1:]; returns tau; beta -> x[0].
+template <typename T>
+inline T larfg(int64_t l, T* x) {
+  using R = typename RealOf<T>::type;
+  R xnorm2 = 0;
+  for (int64_t i = 1; i < l; ++i) xnorm2 += abs2(x[i]);
+  T alpha = x[0];
+  if (xnorm2 == R(0) && imag_(alpha) == R(0)) {
+    x[0] = alpha;
+    return T(0);
+  }
+  R anorm = std::sqrt(abs2(alpha) + xnorm2);
+  R beta = (real_(alpha) >= R(0)) ? -anorm : anorm;
+  T tau = (T(beta) - alpha) / T(beta);
+  T scale = T(1) / (alpha - T(beta));
+  for (int64_t i = 1; i < l; ++i) x[i] *= scale;
+  x[0] = T(beta);
+  return tau;
+}
+
+// One chase step of sweep s at position j with reflector (v, tau) of
+// length l.  Applies the two-sided update to the diagonal block, the right
+// update to the off-diagonal block (m rows), and if m > 1 computes the next
+// reflector (into v/tau) and left-applies it to the bulge columns.
+// Returns m (<= 1 means sweep finished).
+template <typename T>
+inline int64_t chase_step(T* ab, int64_t ld, int64_t n, int64_t b, int64_t j,
+                          T* v, T& tau, T* w) {
+  const int64_t l = (b < n - j) ? b : n - j;
+
+  // ---- w = tau * D v on the Hermitian diagonal block (lower stored) ----
+  for (int64_t c = 0; c < l; ++c) w[c] = T(0);
+  for (int64_t c = 0; c < l; ++c) {
+    const T* col = ab + (j + c) * ld;
+    T vc = v[c];
+    T acc = col[0] * vc;               // diagonal
+    for (int64_t i = 1; i < l - c; ++i) {
+      w[c + i] += col[i] * vc;
+      acc += conj_(col[i]) * v[c + i];
+    }
+    w[c] += acc;
+  }
+  // w = tau*Dv - (tau/2)(w^H v) v  with w currently = D v
+  T whv = T(0);
+  for (int64_t c = 0; c < l; ++c) whv += conj_(tau * w[c]) * v[c];
+  T corr = tau * whv / T(2);
+  for (int64_t c = 0; c < l; ++c) w[c] = tau * w[c] - corr * v[c];
+  // her2: D -= w v^H + v w^H
+  for (int64_t c = 0; c < l; ++c) {
+    T* col = ab + (j + c) * ld;
+    T cw = conj_(w[c]);
+    T cv = conj_(v[c]);
+    for (int64_t i = 0; i < l - c; ++i)
+      col[i] -= w[c + i] * cv + v[c + i] * cw;
+  }
+
+  const int64_t m0 = n - b - j;
+  const int64_t m = (b < m0) ? b : m0;
+  if (m <= 0) return m;
+
+  // ---- right-apply to B (m x l, rows j+l..): B -= tau (B v) v^H ----
+  // B[r, c] = ab[(j+c)*ld + (l - c) + r]
+  T* y = w;  // reuse workspace (length >= m)
+  for (int64_t r = 0; r < m; ++r) y[r] = T(0);
+  for (int64_t c = 0; c < l; ++c) {
+    T* col = ab + (j + c) * ld + (l - c);
+    T vc = v[c];
+    for (int64_t r = 0; r < m; ++r) y[r] += col[r] * vc;
+  }
+  for (int64_t c = 0; c < l; ++c) {
+    T* col = ab + (j + c) * ld + (l - c);
+    T tvc = tau * conj_(v[c]);
+    for (int64_t r = 0; r < m; ++r) col[r] -= tvc * y[r];
+  }
+
+  if (m > 1) {
+    // next reflector from B's first column
+    T* bcol0 = ab + j * ld + l;
+    tau = larfg(m, bcol0);
+    for (int64_t r = 1; r < m; ++r) {
+      v[r] = bcol0[r];
+      bcol0[r] = T(0);
+    }
+    v[0] = T(1);
+    // left-apply H^H to bulge columns 1..l-1:
+    // B[:,c] -= conj(tau) v (v^H B[:,c])
+    T ct = conj_(tau);
+    for (int64_t c = 1; c < l; ++c) {
+      T* col = ab + (j + c) * ld + (l - c);
+      T z = T(0);
+      for (int64_t r = 0; r < m; ++r) z += conj_(v[r]) * col[r];
+      z *= ct;
+      for (int64_t r = 0; r < m; ++r) col[r] -= v[r] * z;
+    }
+  }
+  return m;
+}
+
+template <typename T>
+void run_sweep(T* ab, int64_t ld, int64_t n, int64_t b, int64_t s,
+               T* V, const int64_t* off, T* v, T* w,
+               std::atomic<int32_t>* progress) {
+  const int64_t l0 = (b < n - 1 - s) ? b : n - 1 - s;
+  if (l0 < 2) {
+    progress[s].store(INT32_MAX, std::memory_order_release);
+    return;
+  }
+  auto wait_prev = [&](int64_t t) {
+    if (s == 0) return;
+    int32_t need = static_cast<int32_t>(t) + 3;
+    while (progress[s - 1].load(std::memory_order_acquire) < need)
+      std::this_thread::yield();
+  };
+
+  wait_prev(0);
+  // start: reflector annihilating column s below the first subdiagonal
+  T* col_s = ab + s * ld + 1;
+  T tau = larfg(l0, col_s);
+  v[0] = T(1);
+  for (int64_t i = 1; i < l0; ++i) {
+    v[i] = col_s[i];
+    col_s[i] = T(0);
+  }
+
+  int64_t t = 0;
+  while (true) {
+    if (t > 0) wait_prev(t);
+    const int64_t j = 1 + s + t * b;
+    const int64_t l = (b < n - j) ? b : n - j;
+    T* vr = V + (off[s] + t) * b;
+    vr[0] = tau;
+    for (int64_t i = 1; i < l; ++i) vr[i] = v[i];
+    int64_t m = chase_step(ab, ld, n, b, j, v, tau, w);
+    progress[s].store(static_cast<int32_t>(t) + 1,
+                      std::memory_order_release);
+    if (m <= 1) break;
+    ++t;
+  }
+  progress[s].store(INT32_MAX, std::memory_order_release);
+}
+
+template <typename T>
+int hh_chase(T* ab, int64_t n, int64_t b, T* V, int64_t R) {
+  if (n < 3 || b < 2) return 0;
+  const int64_t ld = 2 * b + 1;
+  const int64_t nsweeps = n - 2;
+
+  // sweep-major reflector offsets: count[s] = (n-3-s)/b + 1
+  std::vector<int64_t> off(nsweeps + 1, 0);
+  for (int64_t s = 0; s < nsweeps; ++s) {
+    int64_t cnt = (n - 1 - s >= 2) ? (n - 3 - s) / b + 1 : 0;
+    off[s + 1] = off[s] + cnt;
+  }
+  if (off[nsweeps] != R) return 1;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t nthreads = hw ? static_cast<int64_t>(hw) : 1;
+  if (nthreads > nsweeps) nthreads = nsweeps;
+  if (nthreads > 16) nthreads = 16;
+
+  std::vector<std::atomic<int32_t>> progress(nsweeps);
+  for (auto& p : progress) p.store(0, std::memory_order_relaxed);
+
+  if (nthreads <= 1) {
+    std::vector<T> v(b), w(2 * b);
+    for (int64_t s = 0; s < nsweeps; ++s)
+      run_sweep(ab, ld, n, b, s, V, off.data(), v.data(), w.data(),
+                progress.data());
+    return 0;
+  }
+
+  std::atomic<int64_t> next_sweep{0};
+  auto worker = [&]() {
+    std::vector<T> v(b), w(2 * b);
+    while (true) {
+      int64_t s = next_sweep.fetch_add(1, std::memory_order_relaxed);
+      if (s >= nsweeps) break;
+      run_sweep(ab, ld, n, b, s, V, off.data(), v.data(), w.data(),
+                progress.data());
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(static_cast<size_t>(nthreads));
+  for (int64_t i = 0; i < nthreads; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int dlaf_hh_chase_s(float* ab, int64_t n, int64_t b, float* V, int64_t R) {
+  return hh_chase(ab, n, b, V, R);
+}
+int dlaf_hh_chase_d(double* ab, int64_t n, int64_t b, double* V, int64_t R) {
+  return hh_chase(ab, n, b, V, R);
+}
+int dlaf_hh_chase_c(void* ab, int64_t n, int64_t b, void* V, int64_t R) {
+  return hh_chase(reinterpret_cast<std::complex<float>*>(ab), n, b,
+                  reinterpret_cast<std::complex<float>*>(V), R);
+}
+int dlaf_hh_chase_z(void* ab, int64_t n, int64_t b, void* V, int64_t R) {
+  return hh_chase(reinterpret_cast<std::complex<double>*>(ab), n, b,
+                  reinterpret_cast<std::complex<double>*>(V), R);
+}
+
+}  // extern "C"

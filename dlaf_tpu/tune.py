@@ -45,7 +45,12 @@ class TuneParameters:
                                           "kloop", str)
     #: wave-group size of the MXU banded back-transform (BT band->tridiag);
     #: the reference's ``bt_band_to_tridiag_hh_apply_group_size`` analogue.
+    #: For the "hh" chase it is the number of sweeps per compact-WY window.
     bt_group_size: int = _env("DLAF_BT_GROUP_SIZE", 64, int)
+    #: band->tridiag algorithm: "hh" (Householder chase + compact-WY MXU
+    #: back-transform, the reference's SweepWorker formulation) or "givens"
+    #: (rotation chase + wave back-transform).
+    band_to_tridiag_algo: str = _env("DLAF_B2T_ALGO", "hh", str)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)
