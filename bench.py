@@ -68,6 +68,29 @@ def main():
     mm_gflops = 2 * 4096 ** 3 / tmm / 1e9
 
     target = 0.85 * mm_gflops
+
+    # secondary metric (set DLAF_BENCH_HEEV=1): full eigensolver wall time
+    # (reference protocol: miniapp_eigensolver end-to-end seconds)
+    import os
+    if os.environ.get("DLAF_BENCH_HEEV"):
+        import time as _time
+
+        from dlaf_tpu import hermitian_eigensolver
+        nh = int(os.environ.get("DLAF_BENCH_HEEV_N", "8192"))
+        ah = mu.random_hermitian_positive_definite(nh, np.float32, seed=1)
+        mh = DistMatrix.from_natural(jnp.asarray(ah, dtype), 1024)
+        del ah
+        lam, v = hermitian_eigensolver(mh, "L", band_size=128)  # warm
+        jnp.asarray(lam).ravel()[0].item()
+        t0 = _time.perf_counter()
+        lam, v = hermitian_eigensolver(mh, "L", band_size=128)
+        np.asarray(v.data).ravel()[0].item()
+        theev = _time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"HEEV fp32 n={nh} band=128 single-chip",
+            "value": round(theev, 2), "unit": "s", "vs_baseline": None,
+        }))
+
     print(json.dumps({
         "metric": f"POTRF fp32(highest) n={n} nb={nb} single-chip",
         "value": round(gflops, 2),

@@ -73,12 +73,16 @@ def bt_hh_window_schedule(n: int, b: int, g: int):
             np.asarray(r0_rows, np.int32))
 
 
-@partial(jax.jit, static_argnames=("b", "g"))
-def _bt_hh_scan(E, stream, widx, r0, b: int, g: int):
+@partial(jax.jit, static_argnames=("b", "g", "e_sharding"))
+def _bt_hh_scan(E, stream, widx, r0, b: int, g: int, e_sharding=None):
     """Scan the window sequence over (row-padded) E."""
     hw = b + g - 1
     dtype = E.dtype
     nc = E.shape[1]
+    if e_sharding is not None:
+        # column sharding: row windows never cross columns, so the whole
+        # scan runs collective-free on column shards
+        E = lax.with_sharding_constraint(E, e_sharding)
 
     # static placement tables: Vwin[i, c] = vrow[c, i - c] (slot 0 = the
     # implied 1), zero outside [c, c+b)
@@ -118,11 +122,12 @@ def _bt_hh_scan(E, stream, widx, r0, b: int, g: int):
     return E
 
 
-def bt_hh_apply(res: HHChaseResult, E):
+def bt_hh_apply(res: HHChaseResult, E, e_sharding=None):
     """Apply the band->tridiag transform: returns ``Q @ (D @ E)``.
 
     ``E``: ``[n, ncols]`` eigenvectors of the real tridiagonal (real); the
-    result is complex iff the band input was complex.
+    result is complex iff the band input was complex.  ``e_sharding``:
+    optional column ``NamedSharding`` for the distributed back-transform.
     """
     n, b = res.n, res.band
     E = jnp.asarray(E)
@@ -148,6 +153,6 @@ def bt_hh_apply(res: HHChaseResult, E):
     Ex = jnp.concatenate(
         [E, jnp.zeros((pad,) + E.shape[1:], E.dtype)], axis=0)
     Ex = _bt_hh_scan(Ex, jnp.asarray(res.V), jnp.asarray(widx),
-                     jnp.asarray(r0), b=b, g=g)
+                     jnp.asarray(r0), b=b, g=g, e_sharding=e_sharding)
     out = Ex[:n]
     return out[:, 0] if squeeze else out

@@ -5,7 +5,13 @@ Equivalent of the reference's ``bt_reduction_to_band``
 (``eigensolver/bt_reduction_to_band.h``, impl ``bt_reduction_to_band/
 impl.h``): blocked application of ``Q1 = H_0 H_1 ...`` (compact-WY panels
 from ``reduction_to_band``) to the eigenvector matrix — T-factor + two gemms
-per panel, all MXU work scheduled by the XLA partitioner.
+per panel, all MXU work.
+
+Panels are bucketed to a few fixed shapes (same scheme as
+``reduction_to_band``): each bucket compiles ONE ``fori_loop`` body with
+dynamic slices instead of ``n/b`` distinct unrolled gemm shapes — at
+n = 32768, b = 128 that is 4 compiled bodies instead of 255.  Padded rows
+are exact zeros and contribute nothing to the WY update.
 """
 
 from __future__ import annotations
@@ -22,24 +28,15 @@ from ..internal import natural_exact, store_natural_exact
 from .reduction_to_band import _cdiv, t_factor
 
 
-def _panel_v(nat_hh, n, b, k):
-    """Reconstruct V of panel k from the reduction output (unit diagonal
-    where tau != 0 is restored by the caller via the tau mask)."""
-    j0, c0 = k * b, (k + 1) * b
-    pm = n - c0
-    pan = nat_hh[c0:, j0:j0 + b]
-    rows = lax.broadcasted_iota(jnp.int32, (pm, b), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (pm, b), 1)
-    return jnp.where(rows > cols, pan, jnp.zeros_like(pan)), rows, cols
-
-
-@partial(jax.jit, static_argnames=("band_size",))
-def bt_reduction_to_band(band_size: int, mat_e, mat_hh: DistMatrix, taus):
+@partial(jax.jit, static_argnames=("band_size", "e_sharding"))
+def bt_reduction_to_band(band_size: int, mat_e, mat_hh: DistMatrix, taus,
+                         e_sharding=None):
     """Returns ``Q1 @ E``.
 
     ``mat_e``: DistMatrix (or array) of eigenvectors [n, m]; ``mat_hh``: the
     ``reduction_to_band`` output holding V below the band; ``taus``:
-    ``[n_panels, band_size]``.
+    ``[n_panels, band_size]``.  ``e_sharding``: optional column
+    ``NamedSharding`` distributing the gemms over E's columns.
     """
     b = band_size
     is_dist = isinstance(mat_e, DistMatrix)
@@ -49,23 +46,56 @@ def bt_reduction_to_band(band_size: int, mat_e, mat_hh: DistMatrix, taus):
     n_panels = max(_cdiv(n, b) - 1, 0)
     if E.dtype != nat_hh.dtype:
         E = E.astype(nat_hh.dtype)
+    if n_panels == 0:
+        return store_natural_exact(mat_e, E) if is_dist else E
 
-    for k in range(n_panels - 1, -1, -1):
-        c0 = (k + 1) * b
-        V, rows, cols = _panel_v(nat_hh, n, b, k)
-        tk = taus[k]
+    # bucket panel heights (compile-time: few fixed shapes)
+    G = max(b, 1024) if n >= 2048 else max(b, _cdiv(max(n // 8, 1), b) * b)
+    nc = E.shape[1]
+    dtype = E.dtype
+
+    NATP = jnp.zeros((n + G, n), dtype)
+    NATP = lax.dynamic_update_slice(NATP, nat_hh, (0, 0))
+    if is_dist and mat_e.grid is not None:
+        NATP = lax.with_sharding_constraint(NATP, mat_e.grid.sharding())
+    EP = jnp.zeros((n + G, nc), dtype)
+    EP = lax.dynamic_update_slice(EP, E, (0, 0))
+    if e_sharding is not None:
+        EP = lax.with_sharding_constraint(EP, e_sharding)
+
+    def body(i, EP, k_hi, pmp):
+        k = k_hi - 1 - i
+        j0 = k * b
+        c0 = j0 + b
+        pan = lax.dynamic_slice(NATP, (c0, j0), (pmp, b))
+        rows = lax.broadcasted_iota(jnp.int32, (pmp, b), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (pmp, b), 1)
+        tk = jnp.take(taus, k, axis=0)
+        V = jnp.where(rows > cols, pan, jnp.zeros_like(pan))
         unit = jnp.where((rows == cols) & (tk[None, :] != 0),
                          jnp.ones_like(V), jnp.zeros_like(V))
         V = V + unit
         # columns with tau == 0 are all-zero by construction (see
         # reduction_to_band._larfg); t_factor relies on that
         T = t_factor(V, tk)
-        W = tile.dot(tile.adj(V), E[c0:])        # V^H E
-        upd = -tile.dot(V, tile.dot(T, W))
-        # pad+add instead of scatter-add (GSPMD-safe, see
-        # reduction_to_band.set_block)
-        E = E + jnp.pad(upd, ((c0, 0), (0, 0)))
+        Es = lax.dynamic_slice(EP, (c0, 0), (pmp, nc))
+        W = tile.dot(tile.adj(V), Es)
+        Es = Es - tile.dot(V, tile.dot(T, W))
+        return lax.dynamic_update_slice(EP, Es, (c0, 0))
 
+    # apply panels k = n_panels-1 .. 0, grouped into equal-padded buckets
+    k_hi = n_panels
+    while k_hi > 0:
+        pm = n - k_hi * b                    # height of panel k_hi - 1
+        pmp = max(_cdiv(pm, G) * G, b)
+        k_lo = k_hi
+        while k_lo > 0 and max(_cdiv(n - k_lo * b, G) * G, b) == pmp:
+            k_lo -= 1
+        EP = lax.fori_loop(0, k_hi - k_lo,
+                           partial(body, k_hi=k_hi, pmp=pmp), EP)
+        k_hi = k_lo
+
+    E = EP[:n]
     if is_dist:
         return store_natural_exact(mat_e, E)
     return E

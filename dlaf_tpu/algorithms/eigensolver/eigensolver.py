@@ -81,6 +81,17 @@ def hermitian_eigensolver(
     if uplo == "U":
         a = store_natural_exact(a, tile.hermitian_full(natural_exact(a), "U"))
 
+    # distributed runs: memory-distribute the mid-stages (the reference's
+    # distributed merge keeps O(n) vectors replicated and distributes the
+    # eigenvector matrix, merge.h:1810) — D&C rows, back-transform columns
+    row_shard = col_shard = None
+    if a.grid is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        mesh = a.grid.mesh
+        row_shard = NamedSharding(mesh, P(("p", "q"), None))
+        col_shard = NamedSharding(mesh, P(None, ("p", "q")))
+
     mat_hh, taus = reduction_to_band(a, band)
     ab = np.asarray(extract_band(mat_hh, band))
     use_hh = get_tune_parameters().band_to_tridiag_algo != "givens"
@@ -91,17 +102,18 @@ def hermitian_eigensolver(
 
     lam, z = tridiagonal_eigensolver(jnp.asarray(res.d, rdtype),
                                      jnp.asarray(res.e, rdtype),
-                                     leaf_size=min(leaf_size, max(n, 1)))
+                                     leaf_size=min(leaf_size, max(n, 1)),
+                                     q_sharding=row_shard)
     lam = lam[:n_ev]
     z = z[:, :n_ev]
 
     if use_hh:
-        e2 = bt_hh_apply(res, z)
+        e2 = bt_hh_apply(res, z, e_sharding=col_shard)
     else:
         e2 = bt_band_to_tridiagonal(res, z)
     if e2.dtype != a.dtype:
         e2 = e2.astype(a.dtype)
-    e = bt_reduction_to_band(band, e2, mat_hh, taus)
+    e = bt_reduction_to_band(band, e2, mat_hh, taus, e_sharding=col_shard)
 
     evec = DistMatrix.from_natural(
         jnp.zeros((n, n_ev), a.dtype), a.block_size, a.grid)

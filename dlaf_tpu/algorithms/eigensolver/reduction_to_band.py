@@ -232,6 +232,16 @@ def reduction_to_band(a: DistMatrix,
     NAT = jnp.zeros((N, N), dtype)
     NAT = lax.dynamic_update_slice(NAT, nat, (0, 0))
 
+    def constrain(x):
+        # distributed runs: keep the workspace 2D-sharded; the SPMD
+        # partitioner gathers the panel (the reference's panel broadcast)
+        # and shards the trailing two-sided update
+        if a.grid is None:
+            return x
+        return lax.with_sharding_constraint(x, a.grid.sharding())
+
+    NAT = constrain(NAT)
+
     # the panel QR runs at ONE fixed shape across all buckets: the geqrf
     # lowering is the expensive-to-compile op, and zero pad rows produce
     # zero reflector rows, so results are identical
@@ -266,7 +276,7 @@ def reduction_to_band(a: DistMatrix,
         NAT = lax.dynamic_update_slice(NAT, pout, (c0, j0))
         rband = jnp.where(rows <= cols, R, jnp.zeros_like(R))[:b]
         NAT = lax.dynamic_update_slice(NAT, tile.adj(rband), (j0, c0))
-        return NAT, taus_all
+        return constrain(NAT), taus_all
 
     carry = (NAT, taus_all)
     k0 = 0

@@ -2,32 +2,42 @@
 
 Equivalent of the reference's ``tridiagonal_eigensolver``
 (``eigensolver/tridiag_solver.h``; impl ``tridiag_solver/impl.h:200-277``
-local, ``merge.h:1079``; deflation ``rot.h``; secular solve = multi-threaded
-LAPACK ``laed4`` calls).  The reference keeps the scalar stages on the host
-and distributes the eigenvector gemms; this build vectorizes the scalar
-stages themselves so the whole solver is one XLA program:
+local, ``merge.h:1079`` local / ``merge.h:1810`` distributed; deflation
+``rot.h``; secular solve = multi-threaded LAPACK ``laed4`` calls).  The
+reference keeps the scalar stages on the host and distributes the
+eigenvector gemms; this build vectorizes the scalar stages so the whole
+solver is one XLA program:
 
 * Cuppen splits are a static binary tree over the (static) problem size;
   rank-1 diagonal corrections for every split are applied upfront;
 * leaves are solved by dense ``eigh`` on small blocks (the reference calls
   LAPACK ``stedc`` per leaf tile, ``impl.h:103-110``);
-* deflation (``laed2``) is a ``lax.scan`` over the merged spectrum carrying
-  Givens-rotated columns and masks — static shapes, traced deflation count;
-* the secular equation (``laed4``) is solved for ALL roots simultaneously:
-  bracketed safeguarded Newton, vectorized over roots, fixed iteration count
-  — the reference parallelizes this over CPU threads
-  (``tridiag_rank1_num_threads``), here it is one [m, m] VPU kernel;
-* eigenvectors use the Gu-Eisenstat stabilized z (``laed3``) and assemble
-  with an MXU gemm per merge.
+* deflation (``laed2``) is a ``lax.scan`` over the merged spectrum on the
+  O(m) vectors only, emitting a Givens-rotation sequence that is applied to
+  Q in a second scan — static shapes, traced deflation count;
+* the secular equation (``laed4``) is solved for all roots in column chunks
+  (bracketed safeguarded Newton, vectorized over roots);
+* the eigenvector update streams the rank-1-update matrix U in column
+  chunks computed on the fly from O(m) vectors — **no [m, m] intermediate
+  besides Q itself** — and folds every column permutation (pre-sort,
+  deflation sort, final sort) into the chunk indexing, so the whole merge
+  makes exactly two passes over Q: the rotation scan and the chunked MXU
+  gemm ``Qn[:, c] = Q @ u_chunk``.  This is the memory shape that lets the
+  top merge of n = 32768 fit (2 x n^2 live instead of >= 4 x), and —
+  because all Q updates touch full columns of row-contiguous data — lets a
+  row-sharded Q distribute the merge with zero collectives outside the
+  gemm, the analogue of the reference's distributed merge
+  (``merge.h:1810``: deflation on replicated vectors + distributed
+  ``general_multiplication`` on MatrixRef ranges).
 
-Real symmetric only (complex Hermitian inputs are reduced to real tridiagonal
-by the band stage's phase transform).
+Real symmetric only (complex Hermitian inputs are reduced to real
+tridiagonal by the band stage's phase transform).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,25 +66,23 @@ def _split_tree(n: int, leaf: int):
     return leaves, merges
 
 
-def _secular_solve(delta, zsq, rho, K, iters=90):
-    """All roots of ``1 + rho * sum_i zsq_i / (delta_i - lam) = 0``.
+def _secular_block(delta, zsq, rho, K, jblk, dt, iters=90):
+    """laed4 for the root block ``jblk`` (global active indices ``< K``).
 
-    ``delta``: [m] poles, slots < K active ascending (zsq may be 0 on any
-    slot).  Returns ``(lam, dmat)`` with ``dmat[i, j] = delta_i - lam_j``
-    computed in shifted (cancellation-free) form.  LAPACK ``laed4``
-    equivalent, vectorized over all roots.
+    Roots of ``1 + rho * sum_i zsq_i / (delta_i - lam) = 0``; returns
+    ``(origin[mc], mu[mc])`` with ``lam = origin + mu`` computed in shifted
+    (cancellation-free) form.  Vectorized over the block's roots.
     """
     m = delta.shape[0]
-    dt = delta.dtype
-    j = jnp.arange(m)
-    active = j < K
     zmask = zsq > 0
+    active = jblk < K
 
     S = jnp.sum(zsq)
     dnext = jnp.concatenate([delta[1:], delta[-1:]])
     ub_last = jnp.take(delta, jnp.maximum(K - 1, 0)) + rho * S
-    dj1 = jnp.where(j == (K - 1), ub_last, dnext)
-    dj = delta
+    dj = jnp.take(delta, jnp.minimum(jblk, m - 1))
+    dj1 = jnp.where(jblk == (K - 1), ub_last,
+                    jnp.take(dnext, jnp.minimum(jblk, m - 1)))
 
     def f(lam):
         diff = delta[:, None] - lam[None, :]
@@ -95,8 +103,8 @@ def _secular_solve(delta, zsq, rho, K, iters=90):
         """Arithmetic bisection away from the pole, geometric near it.
 
         Roots can sit at |mu| ~ rho*z_i^2, many orders below the bracket
-        width; log-space halving preserves *relative* accuracy there (LAPACK
-        laed4 gets this via its rational initial guess).
+        width; log-space halving preserves *relative* accuracy there
+        (LAPACK laed4 gets this via its rational initial guess).
         """
         a = jnp.minimum(jnp.abs(lo), jnp.abs(hi))
         bb = jnp.maximum(jnp.abs(lo), jnp.abs(hi))
@@ -123,14 +131,23 @@ def _secular_solve(delta, zsq, rho, K, iters=90):
     mu0 = midpoint(lo, hi)
     mu, _, _ = lax.fori_loop(0, iters, body, (mu0, lo, hi))
 
-    lam = jnp.where(active, origin + mu, delta)
-    dmat = jnp.where(active[None, :], diffs0 - mu[None, :],
-                     delta[:, None] - delta[None, :])
-    return lam, dmat
+    dfall = jnp.take(delta, jnp.minimum(jblk, m - 1))
+    origin = jnp.where(active, origin, dfall)
+    mu = jnp.where(active, mu, jnp.zeros((), dt))
+    return origin, mu
 
 
-def _deflate(D, z, Q, rho, eps):
-    """laed2-style deflation scan.  Returns (flags, z, Q) post-rotation."""
+def _deflate_vectors(D, z, rho, eps):
+    """laed2-style deflation scan on the O(m) vectors.
+
+    Returns ``(flags, z_new, D_new, (li, jj, c, s))``: the Givens sequence
+    to apply to Q's columns (index pairs in the *sorted* space), identity
+    steps have c = 1, s = 0.  Rotated pairs also rotate their D values
+    (LAPACK ``laed2``: the deflated eigenvalue is ``c^2 d_li + s^2 d_j``,
+    the surviving pole ``s^2 d_li + c^2 d_j`` — an O(1) correction when
+    c or s is extreme; ascending order of the active poles is preserved
+    because the new pole value lies between ``d_li`` and ``d_j``).
+    """
     m = D.shape[0]
     dt = D.dtype
     zmax = jnp.max(jnp.abs(z))
@@ -138,7 +155,7 @@ def _deflate(D, z, Q, rho, eps):
     tol = 8 * eps * jnp.maximum(dmax, zmax)
 
     def body(carry, j):
-        z, Q, flags, last = carry
+        z, D, flags, last = carry
         zj = jnp.take(z, j)
         dj = jnp.take(D, j)
         small = rho * jnp.abs(zj) <= tol
@@ -155,30 +172,46 @@ def _deflate(D, z, Q, rho, eps):
 
         c_eff = jnp.where(do_rot, c, jnp.ones((), dt))
         s_eff = jnp.where(do_rot, s, jnp.zeros((), dt))
-        qlast = jnp.take(Q, li, axis=1)
-        qj = jnp.take(Q, j, axis=1)
-        Q = Q.at[:, li].set(c_eff * qlast - s_eff * qj)
-        Q = Q.at[:, j].set(s_eff * qlast + c_eff * qj)
 
         z = z.at[li].set(jnp.where(do_rot, jnp.zeros((), dt), zlast))
         z = z.at[j].set(jnp.where(small, jnp.zeros((), dt),
                                   jnp.where(do_rot, r, zj)))
+        d_defl = c_eff * c_eff * dlast + s_eff * s_eff * dj
+        d_keep = s_eff * s_eff * dlast + c_eff * c_eff * dj
+        D = D.at[li].set(jnp.where(do_rot, d_defl, dlast))
+        D = D.at[j].set(jnp.where(do_rot, d_keep, dj))
         flags = flags.at[li].set(jnp.where(do_rot, 1, jnp.take(flags, li)))
         flags = flags.at[j].set(jnp.where(small, 1, 0))
         last = jnp.where(small, last, j)
-        return (z, Q, flags, last), None
+        return (z, D, flags, last), (li, j, c_eff, s_eff)
 
     flags0 = jnp.zeros((m,), jnp.int32)
-    (z, Q, flags, _), _ = lax.scan(body, (z, Q, flags0, jnp.int32(-1)),
-                                   jnp.arange(m, dtype=jnp.int32))
-    return flags, z, Q
+    (z, D, flags, _), rots = lax.scan(
+        body, (z, D, flags0, jnp.int32(-1)), jnp.arange(m, dtype=jnp.int32))
+    return flags, z, D, rots
 
 
-def _merge(D, Q, z, rho, eps):
-    """One Cuppen merge: eigensystem of diag(D) + rho * z z^T (rho != 0).
+def _apply_rotations(Q, li, jj, c, s, constrain=lambda x: x):
+    """Apply the Givens sequence to Q's columns (vectorized over rows)."""
+    def body(Q, rot):
+        li, jj, c, s = rot
+        qlast = jnp.take(Q, li, axis=1)
+        qj = jnp.take(Q, jj, axis=1)
+        Q = Q.at[:, li].set(c * qlast - s * qj)
+        Q = Q.at[:, jj].set(s * qlast + c * qj)
+        return constrain(Q), None
 
-    ``D``: [m] (each half ascending), ``Q``: [m, m] block-diagonal
-    eigenvectors, ``z``: [m].  Returns (lam ascending, Q_new).
+    Q, _ = lax.scan(body, constrain(Q), (li, jj, c, s))
+    return Q
+
+
+def _merge(D, Q, z, rho, eps, col_chunk: int = 2048,
+           constrain=lambda x: x):
+    """One Cuppen merge: eigensystem of diag(D) + rho * z z^T.
+
+    ``D``: [m] (each half ascending), ``Q``: [rows, m] block-diagonal
+    eigenvectors (rows may exceed m and may be sharded), ``z``: [m].
+    Returns (lam ascending, Q_new).
     """
     m = D.shape[0]
     dt = D.dtype
@@ -190,56 +223,121 @@ def _merge(D, Q, z, rho, eps):
     z = z / zsafe
     rho = rho * znorm2
 
-    perm0 = jnp.argsort(D, stable=True)
-    D = jnp.take(D, perm0)
-    z = jnp.take(z, perm0)
-    Q = jnp.take(Q, perm0, axis=1)
+    perm0 = jnp.argsort(D, stable=True)                  # sorted space
+    Ds = jnp.take(D, perm0)
+    zs = jnp.take(z, perm0)
 
-    flags, z, Q = _deflate(D, z, Q, rho, eps)
+    flags, zs, Ds, (rli, rjj, rc, rs) = _deflate_vectors(Ds, zs, rho, eps)
+    # rotations indexed in sorted space -> act on original columns
+    Q = _apply_rotations(Q, jnp.take(perm0, rli), jnp.take(perm0, rjj),
+                         rc, rs, constrain)
 
-    perm1 = jnp.argsort(flags, stable=True)
-    Da = jnp.take(D, perm1)
-    za = jnp.take(z, perm1)
-    Qa = jnp.take(Q, perm1, axis=1)
+    perm1 = jnp.argsort(flags, stable=True)              # "a"-space:
+    Da = jnp.take(Ds, perm1)                             # nondeflated first
+    za = jnp.take(zs, perm1)
     K = m - jnp.sum(flags)
+    p01 = jnp.take(perm0, perm1)                         # a-col -> Q-col
 
-    lam, dmat = _secular_solve(Da, za * za, rho, K)
-
-    # Gu-Eisenstat stabilized z (laed3): zhat_i^2 =
-    #   prod_j (lam_j - delta_i) / prod_{j != i} (delta_j - delta_i)
+    mc = min(col_chunk, m)
+    nchunks = -(-m // mc)
     jidx = jnp.arange(m)
-    activej = (jidx < K)[None, :]
-    activei = (jidx < K)[:, None]
-    lamd = -dmat                                  # lam_j - delta_i
+
+    # secular roots, chunked over root blocks (shifted representation)
+    def sec_chunk(i, acc):
+        origin, mu = acc
+        c0 = jnp.minimum(i * mc, m - mc)
+        jblk = c0 + jidx[:mc]
+        ob, mb = _secular_block(Da, za * za, rho, K, jblk, dt)
+        return (lax.dynamic_update_slice(origin, ob, (c0,)),
+                lax.dynamic_update_slice(mu, mb, (c0,)))
+
+    origin, mu = lax.fori_loop(
+        0, nchunks, sec_chunk, (jnp.zeros((m,), dt), jnp.zeros((m,), dt)))
+    lam_a = jnp.where(jidx < K, origin + mu, Da)
+
+    # Gu-Eisenstat stabilized z (laed3):
+    #   zhat_i^2 = prod_{j<K} (lam_j - delta_i) / prod_{j<K, j!=i} ...
+    # accumulated in log space over column chunks
     tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny, dt)
-    lognum = jnp.sum(jnp.where(activej, jnp.log(jnp.abs(lamd) + tiny), 0),
-                     axis=1)
-    ddm = Da[None, :] - Da[:, None]               # delta_j - delta_i
-    offdiag = jidx[None, :] != jidx[:, None]
-    logden = jnp.sum(jnp.where(activej & offdiag,
-                               jnp.log(jnp.abs(ddm) + tiny), 0), axis=1)
+
+    def log_chunk(i, acc):
+        lognum, logden = acc
+        c0 = jnp.minimum(i * mc, m - mc)
+        jblk = c0 + jidx[:mc]
+        activej = (jblk < K)[None, :]
+        ob = jnp.take(origin, jblk)
+        mb = jnp.take(mu, jblk)
+        lamd = (ob[None, :] - Da[:, None]) + mb[None, :]   # lam_j - delta_i
+        num = jnp.sum(jnp.where(activej, jnp.log(jnp.abs(lamd) + tiny), 0),
+                      axis=1)
+        ddm = jnp.take(Da, jblk)[None, :] - Da[:, None]    # delta_j - delta_i
+        offd = jblk[None, :] != jidx[:, None]
+        den = jnp.sum(jnp.where(activej & offd,
+                                jnp.log(jnp.abs(ddm) + tiny), 0), axis=1)
+        return lognum + num, logden + den
+
+    lognum, logden = lax.fori_loop(
+        0, nchunks, log_chunk, (jnp.zeros((m,), dt), jnp.zeros((m,), dt)))
     zhat = jnp.sign(za) * jnp.exp(0.5 * (lognum - logden))
     zhat = jnp.where(jidx < K, zhat, jnp.zeros((), dt))
 
-    # eigenvector matrix U[i, j] = zhat_i / dmat[i, j], columns normalized
-    dsafe = jnp.where(jnp.abs(dmat) > 0, dmat, jnp.ones((), dt))
-    U = jnp.where(activei & activej, zhat[:, None] / dsafe, 0)
-    norms = jnp.sqrt(jnp.sum(U * U, axis=0))
-    U = U / jnp.where(norms > 0, norms, jnp.ones((), dt))[None, :]
-    U = jnp.where(activej, U, jnp.eye(m, dtype=dt))   # deflated cols = e_j
+    # final ascending order of the merged spectrum
+    perm2 = jnp.argsort(lam_a, stable=True)
+    lam = jnp.take(lam_a, perm2)
 
-    Qn = tile.dot(Qa, U)
-    perm2 = jnp.argsort(lam, stable=True)
-    return jnp.take(lam, perm2), jnp.take(Qn, perm2, axis=1)
+    # streamed eigenvector update: for each chunk of *final* columns,
+    # build the U chunk analytically (rows indexed by original Q columns,
+    # folding perm0/perm1) and apply one MXU gemm.
+    inv_p01 = jnp.zeros((m,), p01.dtype).at[p01].set(jidx.astype(p01.dtype))
+
+    def u_chunk(cols):
+        """U_exp[:, cols]: [m, mc] with rows in original-Q column order."""
+        p = jnp.take(perm2, cols)                      # a-space column
+        act = p < K
+        ob = jnp.take(origin, p)
+        mb = jnp.take(mu, p)
+        dmat = (Da[:, None] - ob[None, :]) - mb[None, :]   # delta_i - lam_p
+        dsafe = jnp.where(jnp.abs(dmat) > 0, dmat, jnp.ones((), dt))
+        U = jnp.where(act[None, :] & (jidx < K)[:, None],
+                      zhat[:, None] / dsafe, 0)
+        norms = jnp.sqrt(jnp.sum(U * U, axis=0))
+        U = U / jnp.where(norms > 0, norms, jnp.ones((), dt))[None, :]
+        # deflated columns are basis vectors e_p (a-space)
+        U = jnp.where(act[None, :], U,
+                      (jidx[:, None] == p[None, :]).astype(dt))
+        # expand rows a-space -> original Q columns
+        return jnp.take(U, jnp.take(inv_p01, jidx), axis=0)
+
+    rows = Q.shape[0]
+    Qn = constrain(jnp.zeros((rows, m), dt))
+
+    def gemm_chunk(i, Qn):
+        c0 = jnp.minimum(i * mc, m - mc)
+        cols = c0 + jidx[:mc]
+        Uc = u_chunk(cols)
+        blk = tile.dot(Q, Uc)
+        return constrain(lax.dynamic_update_slice(Qn, blk, (0, c0)))
+
+    Qn = lax.fori_loop(0, nchunks, gemm_chunk, Qn)
+    return lam, Qn
 
 
-@partial(jax.jit, static_argnames=("leaf_size",))
-def tridiagonal_eigensolver(d, e, leaf_size: int = 32
+@partial(jax.jit, static_argnames=("leaf_size", "col_chunk", "q_sharding"))
+def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
+                            col_chunk: int = 2048,
+                            q_sharding=None,
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full eigensystem of the real symmetric tridiagonal (d, e).
 
     Returns ``(eigenvalues ascending [n], eigenvectors [n, n])`` with
     column j the eigenvector of eigenvalue j.
+
+    ``q_sharding``: optional ``NamedSharding`` for the eigenvector matrix —
+    row sharding (``P(('p','q'), None)``) memory-distributes the merges:
+    every per-merge Q operation (column rotations, chunked U gemm) touches
+    full columns, so a row-sharded Q runs them without collectives (the
+    O(m) deflation/secular work is replicated, exactly like the reference's
+    distributed merge keeps its vectors rank-replicated, ``merge.h:1810``).
     """
     d = jnp.asarray(d)
     e = jnp.asarray(e)
@@ -251,6 +349,11 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32
     if n == 1:
         return d, jnp.ones((1, 1), dt)
 
+    def constrain(Q):
+        if q_sharding is None:
+            return Q
+        return lax.with_sharding_constraint(Q, q_sharding)
+
     leaves, merges = _split_tree(n, leaf_size)
 
     # upfront rank-1 diagonal corrections at every split point
@@ -260,7 +363,7 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32
         dc = dc.at[i1 - 1].add(-r).at[i1].add(-r)
 
     lam = jnp.zeros((n,), dt)
-    Q = jnp.zeros((n, n), dt)
+    Q = constrain(jnp.zeros((n, n), dt))
 
     def leaf_block(i0, ls):
         block = jnp.diag(dc[i0:i0 + ls])
@@ -279,20 +382,24 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32
         w, v = jnp.linalg.eigh(blocks)
         for t, i0 in enumerate(starts):
             lam = lam.at[i0:i0 + ls].set(w[t])
-            Q = Q.at[i0:i0 + ls, i0:i0 + ls].set(v[t])
+            # dynamic_update_slice, not scatter: GSPMD mis-compiles .at[].set
+            # on sharded axes (see CLAUDE.md)
+            Q = lax.dynamic_update_slice(Q, v[t], (i0, i0))
+    Q = constrain(Q)
 
     for (i0, i1, i2) in merges:
         m = i2 - i0
         Dm = lam[i0:i2]
-        Qm = Q[i0:i2, i0:i2]
+        Qm = constrain(lax.dynamic_slice(Q, (i0, i0), (m, m)))
         em = e[i1 - 1]
         sgn = jnp.where(em < 0, -jnp.ones((), dt), jnp.ones((), dt))
         rho = jnp.abs(em)
         # z = [last row of Q1, sign * first row of Q2]
         z = jnp.concatenate([Qm[i1 - 1 - i0, : i1 - i0],
                              sgn * Qm[i1 - i0, i1 - i0:]])
-        lam_m, Qn = _merge(Dm, Qm, z, rho, eps)
+        lam_m, Qn = _merge(Dm, Qm, z, rho, eps, col_chunk=col_chunk,
+                           constrain=constrain)
         lam = lam.at[i0:i2].set(lam_m)
-        Q = Q.at[i0:i2, i0:i2].set(Qn)
+        Q = constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
 
     return lam, Q

@@ -65,8 +65,8 @@ def test_native_matches_numpy_semantics(n, b, dtype):
     if Vn is None:
         pytest.skip("native kernel unavailable")
     Vp = hh_chase_numpy(ab2b, n, b)
-    assert np.abs(Vn - Vp).max() < 1e-12
-    assert np.abs(ab2a - ab2b).max() < 1e-12
+    assert np.abs(Vn - Vp).max() < 1e-10
+    assert np.abs(ab2a - ab2b).max() < 1e-10
 
 
 @pytest.mark.parametrize("g", [4, 16, 7, 64])

@@ -6,6 +6,7 @@ vs LAPACK, over sizes crossing leaf boundaries, hard deflation cases
 (multiple eigenvalues, zero off-diagonals), and both leaf regimes.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.linalg as sla
@@ -93,3 +94,25 @@ def test_1_2_3_scale_invariance():
     np.testing.assert_allclose(lam, want, rtol=1e-10, atol=1e-10 * 1e8)
     resid = np.abs(t @ q - q * lam[None, :]).max()
     assert resid < 1e-6, resid
+
+
+def test_random_spectrum_deflation_rotation():
+    """Regression: laed2 deflation must rotate the D values of close pairs
+    (deflated eigenvalue c^2 d_li + s^2 d_j) — random tridiagonals with
+    N(0, 0.5) couplings trigger extreme-angle rotations where skipping the
+    update gives O(1)-wrong eigenvalues with perfectly orthogonal vectors."""
+    import numpy as np
+
+    from dlaf_tpu.algorithms.eigensolver.tridiag_solver import \
+        tridiagonal_eigensolver
+    rng = np.random.default_rng(0)
+    for n, leaf in [(256, 64), (768, 64), (500, 48)]:
+        d = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        e = jnp.asarray(rng.standard_normal(n - 1) * 0.5, jnp.float32)
+        T = (np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1) +
+             np.diag(np.asarray(e), -1))
+        lam, Q = tridiagonal_eigensolver(d, e, leaf_size=leaf, col_chunk=256)
+        Qn = np.asarray(Q)
+        lamn = np.asarray(lam)
+        assert np.abs(T @ Qn - Qn * lamn[None, :]).max() < 2e-4
+        assert np.abs(np.sort(lamn) - np.linalg.eigvalsh(T)).max() < 2e-4
