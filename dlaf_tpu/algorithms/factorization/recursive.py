@@ -156,6 +156,11 @@ def lpotrf_lower(a, panel: int | None = None, base: int | None = None):
     Outer left-looking panels (ONE deep/wide MXU gemm each) + binary column
     recursion inside each panel strip (:func:`_factor_strip`): ~n^3/6
     multiplies total; small-base XLA cholesky + explicit trtri/trmm leaves.
+
+    The factor accumulates into one carried buffer via dynamic-update
+    slices (no per-panel ``concatenate`` of all previous columns): XLA
+    aliases the dead carry in place, so peak memory is ~2 n^2 values
+    (input + factor) — what lets n = 32768 fit on a single chip.
     """
     p = get_tune_parameters()
     if base is None:
@@ -168,16 +173,13 @@ def lpotrf_lower(a, panel: int | None = None, base: int | None = None):
     if n <= panel:
         return _factor_strip(a, base)
 
-    dtype = a.dtype
-    cols = []
+    L = jnp.zeros_like(a)
     for k in range(0, n, panel):
         w = min(panel, n - k)
-        strip = a[k:, k:k + w]
+        strip = lax.dynamic_slice(a, (k, k), (n - k, w))
         if k:
-            left = jnp.concatenate(cols, axis=1)[k:, :]      # L[k:, :k]
+            left = lax.dynamic_slice(L, (k, 0), (n - k, k))   # L[k:, :k]
             strip = strip - tile.dot(left, tile.adj(left[:w]))
         col = _factor_strip(strip, base)
-        if k:
-            col = jnp.concatenate([jnp.zeros((k, w), dtype), col], axis=0)
-        cols.append(col)
-    return jnp.concatenate(cols, axis=1)
+        L = lax.dynamic_update_slice(L, col, (k, k))
+    return L

@@ -1,0 +1,108 @@
+"""Embedding bridge for the native C ABI (``api/native/dlaf_c_shim.cpp``).
+
+The C shim (equivalent of the reference's ``src/c_api/*.cpp``) embeds
+CPython and calls these functions, passing raw buffer addresses as
+integers; here they are wrapped zero-copy as numpy views (column-major,
+ScaLAPACK layout, honoring the leading dimension) and routed through the
+Python C-API layer ``api/c_api.py`` — mirroring the reference's
+``Matrix(layout, ptr)`` wrap of user memory
+(``src/c_api/utils.h:19-20``).  Every function returns an int rc
+(0 = success) because exceptions cannot cross the C boundary.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import traceback
+
+import numpy as np
+
+# the C ABI is typed (s/d): double entry points need real f64, which JAX
+# disables by default (TPU runs keep f32 — set DLAF_C_ENABLE_X64=0 there)
+if os.environ.get("DLAF_C_ENABLE_X64", "1") != "0":
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+from . import c_api
+
+_CT = {"s": (ctypes.c_float, np.float32),
+       "d": (ctypes.c_double, np.float64)}
+
+
+def _wrap_mat(addr: int, typ: str, m: int, n: int, ld: int) -> np.ndarray:
+    """Zero-copy F-order [m, n] view of a column-major local buffer."""
+    ct, _ = _CT[typ]
+    flat = np.ctypeslib.as_array(ctypes.cast(addr, ctypes.POINTER(ct)),
+                                 shape=(n, max(ld, m)))
+    return flat[:, :m].T          # view; writes propagate to the C buffer
+
+
+def _wrap_vec(addr: int, typ: str, n: int) -> np.ndarray:
+    ct, _ = _CT[typ]
+    return np.ctypeslib.as_array(ctypes.cast(addr, ctypes.POINTER(ct)),
+                                 shape=(n,))
+
+
+def initialize() -> int:
+    c_api.dlaf_initialize()
+    return 0
+
+
+def finalize() -> int:
+    c_api.dlaf_finalize()
+    return 0
+
+
+def create_grid(nprow: int, npcol: int, order: int) -> int:
+    try:
+        return c_api.dlaf_create_grid(nprow, npcol, chr(order))
+    except Exception:
+        traceback.print_exc()
+        return -1
+
+
+def free_grid(ctx: int) -> int:
+    c_api.dlaf_free_grid(ctx)
+    return 0
+
+
+def _desc(m, n, mb, nb, ld):
+    return c_api.DLAF_descriptor(m, n, mb, nb, ld=ld)
+
+
+def cholesky(ctx: int, uplo: int, typ: str, addr: int,
+             m: int, n: int, mb: int, nb: int, ld: int) -> int:
+    try:
+        a = _wrap_mat(addr, typ, m, n, ld)
+        fn = getattr(c_api, f"dlaf_cholesky_{typ}")
+        return fn(ctx, chr(uplo), a, _desc(m, n, mb, nb, ld))
+    except Exception:
+        traceback.print_exc()
+        return 1
+
+
+def cholesky_inverse(ctx: int, uplo: int, typ: str, addr: int,
+                     m: int, n: int, mb: int, nb: int, ld: int) -> int:
+    try:
+        a = _wrap_mat(addr, typ, m, n, ld)
+        fn = getattr(c_api, f"dlaf_cholesky_inverse_{typ}")
+        return fn(ctx, chr(uplo), a, _desc(m, n, mb, nb, ld))
+    except Exception:
+        traceback.print_exc()
+        return 1
+
+
+def eigensolver(ctx: int, uplo: int, typ: str, a_addr: int, w_addr: int,
+                z_addr: int, n: int, mb: int, nb: int,
+                lda: int, ldz: int) -> int:
+    try:
+        a = _wrap_mat(a_addr, typ, n, n, lda)
+        z = _wrap_mat(z_addr, typ, n, n, ldz)
+        w = _wrap_vec(w_addr, typ, n)
+        fn = getattr(c_api, f"dlaf_symmetric_eigensolver_{typ}")
+        return fn(ctx, chr(uplo), a, _desc(n, n, mb, nb, lda),
+                  w, z, _desc(n, n, mb, nb, ldz))
+    except Exception:
+        traceback.print_exc()
+        return 1

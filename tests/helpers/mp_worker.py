@@ -1,0 +1,59 @@
+"""Worker for the 2-process distributed test (see test_multiprocess.py).
+
+Runs distributed Cholesky and the full HEEV chain over a 2x4 grid that
+spans two processes (4 virtual CPU devices each), checks residuals, and
+exits 0 on success — the analogue of one rank of the reference's
+``mpiexec -n 6`` test jobs (``cmake/DLAF_AddTest.cmake:107-120``).
+"""
+
+import sys
+
+
+def main() -> int:
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+
+    from dlaf_tpu.parallel.multiprocess import (gather_natural, global_grid,
+                                                initialize_multiprocess)
+    initialize_multiprocess(f"localhost:{port}", 2, pid)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert len(jax.devices()) == 8, len(jax.devices())
+    assert jax.process_count() == 2
+
+    from dlaf_tpu import cholesky_factorization, hermitian_eigensolver
+    from dlaf_tpu.matrix import util as mu
+    from dlaf_tpu.matrix.matrix import DistMatrix
+
+    grid = global_grid((2, 4))
+
+    # ---- distributed Cholesky ----
+    n, nb = 64, 8
+    a = mu.random_hermitian_positive_definite(n, np.float32, seed=0)
+    mat = DistMatrix.from_natural(jnp.asarray(a), (nb, nb), grid)
+    f = gather_natural(cholesky_factorization(mat))
+    fl = np.tril(f)
+    resid = np.linalg.norm(fl @ fl.T - a) / np.linalg.norm(a)
+    assert resid < 1e-4, f"cholesky resid {resid}"
+    print(f"[{pid}] cholesky ok {resid:.2e}", flush=True)
+
+    # ---- full HEEV chain ----
+    rng = np.random.default_rng(7)
+    h = rng.standard_normal((n, n)).astype(np.float32)
+    h = (h + h.T) / 2
+    mh = DistMatrix.from_natural(jnp.asarray(h), (nb, nb), grid)
+    lam, v = hermitian_eigensolver(mh, "L", band_size=8)
+    lam = np.asarray(lam)
+    vn = gather_natural(v)
+    resid = np.linalg.norm(h @ vn - vn * lam[None, :]) / np.linalg.norm(h)
+    assert resid < 5e-5, f"heev resid {resid}"
+    assert np.abs(np.sort(lam) - np.linalg.eigvalsh(h)).max() < 1e-3
+    print(f"[{pid}] heev ok {resid:.2e}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
