@@ -43,15 +43,26 @@ def _cdiv(a: int, b: int) -> int:
 class Distribution:
     """Block-cyclic distribution of an ``m x n`` matrix over a ``P x Q`` grid.
 
-    ``block_size`` is the tile size (the reference distinguishes block and
-    tile size, with tiles subdividing blocks — ``distribution.h:120-180``;
-    here tile == block, the reference's default).
+    ``block_size`` is the distribution *block* (ownership + storage unit).
+    Like the reference (``distribution.h:120-201``) the class also supports
+
+    * an element-wise ``offset`` of the top-left block (normalized on
+      construction: whole blocks fold into ``src_rank``, so
+      ``0 <= offset < block_size`` always holds afterwards);
+    * ``tiles_per_block``: logical tiles subdividing blocks (reference
+      tile != block); ownership stays block-wise, the ``*_fine`` methods
+      convert between elements and the finer tile grid; and
+    * :meth:`retiled` / :meth:`sub_distribution` derived distributions
+      (reference ``matrix.h:186 retiled_sub_pipeline``,
+      ``Distribution(dist, spec)`` sub-distribution ctor).
     """
 
     size: Tuple[int, int]
     block_size: Tuple[int, int]
     grid_size: Tuple[int, int] = (1, 1)
     src_rank: Tuple[int, int] = (0, 0)
+    offset: Tuple[int, int] = (0, 0)
+    tiles_per_block: Tuple[int, int] = (1, 1)
 
     def __post_init__(self):
         m, n = self.size
@@ -65,14 +76,31 @@ class Distribution:
             raise ValueError(f"invalid grid_size {self.grid_size}")
         if not (0 <= self.src_rank[0] < P and 0 <= self.src_rank[1] < Q):
             raise ValueError(f"invalid src_rank {self.src_rank}")
+        tr, tc = self.tiles_per_block
+        if tr <= 0 or tc <= 0 or mb % tr or nb % tc:
+            raise ValueError(
+                f"tiles_per_block {self.tiles_per_block} must divide "
+                f"block_size {self.block_size}")
+        if any(o < 0 for o in self.offset):
+            raise ValueError(f"invalid offset {self.offset}")
+        # normalize: whole blocks of offset fold into the source rank
+        if self.offset[0] >= mb or self.offset[1] >= nb:
+            oi, oj = self.offset
+            sp, sq = self.src_rank
+            object.__setattr__(self, "src_rank",
+                               ((sp + oi // mb) % P, (sq + oj // nb) % Q))
+            object.__setattr__(self, "offset", (oi % mb, oj % nb))
 
     # -- tile counts -------------------------------------------------------
     @property
     def nr_tiles(self) -> Tuple[int, int]:
-        """Global tile-grid size (mt, nt)."""
+        """Global block-grid size (mt, nt); block 0 contains element 0
+        (partial by ``offset``)."""
         m, n = self.size
         mb, nb = self.block_size
-        return _cdiv(m, mb), _cdiv(n, nb)
+        oi, oj = self.offset
+        return (_cdiv(oi + m, mb) if m else 0,
+                _cdiv(oj + n, nb) if n else 0)
 
     @property
     def padded_nr_tiles(self) -> Tuple[int, int]:
@@ -100,17 +128,20 @@ class Distribution:
 
     # -- element <-> tile --------------------------------------------------
     def global_tile_from_global_element(self, ge) -> GlobalTileIndex:
-        return GlobalTileIndex(ge[0] // self.block_size[0],
-                               ge[1] // self.block_size[1])
+        return GlobalTileIndex(
+            (ge[0] + self.offset[0]) // self.block_size[0],
+            (ge[1] + self.offset[1]) // self.block_size[1])
 
     def tile_element_from_global_element(self, ge) -> TileElementIndex:
-        return TileElementIndex(ge[0] % self.block_size[0],
-                                ge[1] % self.block_size[1])
+        return TileElementIndex(
+            (ge[0] + self.offset[0]) % self.block_size[0],
+            (ge[1] + self.offset[1]) % self.block_size[1])
 
     def global_element_from_global_tile_and_tile_element(
             self, gt, te) -> GlobalElementIndex:
-        return GlobalElementIndex(gt[0] * self.block_size[0] + te[0],
-                                  gt[1] * self.block_size[1] + te[1])
+        return GlobalElementIndex(
+            gt[0] * self.block_size[0] + te[0] - self.offset[0],
+            gt[1] * self.block_size[1] + te[1] - self.offset[1])
 
     # -- ownership ---------------------------------------------------------
     def rank_global_tile(self, gt) -> Tuple[int, int]:
@@ -179,30 +210,108 @@ class Distribution:
 
     # -- local element counts (true, not padded) ----------------------------
     def local_element_count(self, rank) -> Tuple[int, int]:
-        """True number of locally stored elements (ScaLAPACK ``numroc``)."""
+        """True number of locally stored elements (ScaLAPACK ``numroc``,
+        generalized to a partial first block via ``offset``)."""
 
-        def numroc(n, nb, r, s, nproc):
+        def numroc(n, nb, off, r, s, nproc):
+            if n == 0:
+                return 0
+            T = _cdiv(off + n, nb)            # blocks spanned
             c = (r - s) % nproc
-            full, rem = divmod(n, nb)
-            cnt = (full // nproc) * nb
-            extra = full % nproc
-            if c < extra:
-                cnt += nb
-            elif c == extra:
-                cnt += rem
+            if c >= T:
+                return 0
+            nt_own = (T - c + nproc - 1) // nproc
+            cnt = nt_own * nb
+            if c == 0:
+                cnt -= off                    # partial first block
+            if (T - 1) % nproc == c:
+                cnt -= T * nb - off - n       # partial last block
             return cnt
 
-        return (numroc(self.size[0], self.block_size[0], rank[0],
-                       self.src_rank[0], self.grid_size[0]),
-                numroc(self.size[1], self.block_size[1], rank[1],
-                       self.src_rank[1], self.grid_size[1]))
+        return (numroc(self.size[0], self.block_size[0], self.offset[0],
+                       rank[0], self.src_rank[0], self.grid_size[0]),
+                numroc(self.size[1], self.block_size[1], self.offset[1],
+                       rank[1], self.src_rank[1], self.grid_size[1]))
+
+    # -- logical (fine) tiles subdividing blocks ----------------------------
+    @property
+    def tile_size(self) -> Tuple[int, int]:
+        """Size of the logical tile (block_size / tiles_per_block)."""
+        return (self.block_size[0] // self.tiles_per_block[0],
+                self.block_size[1] // self.tiles_per_block[1])
+
+    @property
+    def nr_fine_tiles(self) -> Tuple[int, int]:
+        """Global logical-tile grid size; tile 0 contains element (0, 0)."""
+        m, n = self.size
+        ts = self.tile_size
+        return (_cdiv(self.offset[0] % ts[0] + m, ts[0]) if m else 0,
+                _cdiv(self.offset[1] % ts[1] + n, ts[1]) if n else 0)
+
+    def fine_tile_from_global_element(self, ge) -> GlobalTileIndex:
+        ts = self.tile_size
+        return GlobalTileIndex(
+            (ge[0] + self.offset[0] % ts[0]) // ts[0],
+            (ge[1] + self.offset[1] % ts[1]) // ts[1])
+
+    def tile_element_from_global_element_fine(self, ge) -> TileElementIndex:
+        ts = self.tile_size
+        return TileElementIndex((ge[0] + self.offset[0]) % ts[0],
+                                (ge[1] + self.offset[1]) % ts[1])
+
+    def global_element_from_fine_tile_and_tile_element(
+            self, ft, te) -> GlobalElementIndex:
+        ts = self.tile_size
+        return GlobalElementIndex(
+            ft[0] * ts[0] + te[0] - self.offset[0] % ts[0],
+            ft[1] * ts[1] + te[1] - self.offset[1] % ts[1])
+
+    def global_tile_from_fine_tile(self, ft) -> GlobalTileIndex:
+        """Owning *block* of a logical tile."""
+        ts = self.tile_size
+        skip = (self.offset[0] // ts[0], self.offset[1] // ts[1])
+        return GlobalTileIndex(
+            (ft[0] + skip[0]) // self.tiles_per_block[0],
+            (ft[1] + skip[1]) // self.tiles_per_block[1])
+
+    def rank_fine_tile(self, ft) -> Tuple[int, int]:
+        return self.rank_global_tile(self.global_tile_from_fine_tile(ft))
+
+    # -- derived: retiling and sub-distributions ----------------------------
+    def retiled(self, tiles_per_block) -> "Distribution":
+        """Same matrix/ownership, finer logical tiles (the reference's
+        ``retiled_sub_pipeline(tiles_per_block)``, ``matrix.h:186``)."""
+        if isinstance(tiles_per_block, int):
+            tiles_per_block = (tiles_per_block, tiles_per_block)
+        return dataclasses.replace(self,
+                                   tiles_per_block=tuple(tiles_per_block))
+
+    def sub_distribution(self, origin, size) -> "Distribution":
+        """Distribution of the sub-matrix at ``origin`` of ``size``
+        (reference sub-distribution ctor + helpers,
+        ``distribution.h:54-64``): element (i, j) of the result lives on
+        the same rank, block and in-block position as element
+        (origin + (i, j)) of ``self``."""
+        oi, oj = origin
+        m, n = size
+        if oi < 0 or oj < 0 or m < 0 or n < 0 or \
+                oi + m > self.size[0] or oj + n > self.size[1]:
+            raise ValueError(f"sub-distribution {origin}+{size} out of "
+                             f"range {self.size}")
+        return Distribution(
+            (m, n), self.block_size, self.grid_size, self.src_rank,
+            (self.offset[0] + oi, self.offset[1] + oj),
+            self.tiles_per_block)
 
     # -- derived distributions ----------------------------------------------
     def transposed(self) -> "Distribution":
         return Distribution((self.size[1], self.size[0]),
                             (self.block_size[1], self.block_size[0]),
                             (self.grid_size[1], self.grid_size[0]),
-                            (self.src_rank[1], self.src_rank[0]))
+                            (self.src_rank[1], self.src_rank[0]),
+                            (self.offset[1], self.offset[0]),
+                            (self.tiles_per_block[1],
+                             self.tiles_per_block[0]))
 
     def with_size(self, size) -> "Distribution":
         return dataclasses.replace(self, size=tuple(size))

@@ -61,6 +61,16 @@ class LocalComm:
     def in_col(self, q0):
         return True
 
+    def shift_p(self, x, shift: int = 1, cyclic: bool = False):
+        """P = 1: a cyclic shift is the identity; an open shift by a
+        nonzero amount has no sender, so the result is zeros."""
+        if cyclic or shift == 0:
+            return x
+        return jnp.zeros_like(x)
+
+    def shift_q(self, x, shift: int = 1, cyclic: bool = False):
+        return self.shift_p(x, shift, cyclic)
+
 
 class MeshComm:
     """SPMD context: must be used inside ``shard_map`` over a Grid's mesh."""
@@ -108,6 +118,32 @@ class MeshComm:
 
     def in_col(self, q0):
         return self.q == q0
+
+    # -- P2P neighbor exchange (the reference's tile send/recv,
+    #    ``communication/kernels/p2p.h:29,45``; here a ring ``ppermute``
+    #    over a mesh axis — the ICI-native point-to-point primitive) ------
+    @staticmethod
+    def _ring_pairs(n: int, shift: int, cyclic: bool):
+        pairs = [(i, (i + shift) % n) for i in range(n)]
+        if not cyclic:
+            pairs = [(a, b) for a, b in pairs if 0 <= a + shift < n]
+        return pairs
+
+    def shift_p(self, x, shift: int = 1, cyclic: bool = False):
+        """Rank (p, q) receives ``x`` from rank ((p - shift) mod P, q).
+
+        ``cyclic=False`` drops the wrap-around links: ranks with no sender
+        receive zeros (the shape of a pipeline/chase neighbor exchange);
+        ``cyclic=True`` is the full ring (block-cyclic rotations).
+        Negative ``shift`` reverses direction.
+        """
+        return lax.ppermute(x, ROW_AXIS,
+                            self._ring_pairs(self.P, shift, cyclic))
+
+    def shift_q(self, x, shift: int = 1, cyclic: bool = False):
+        """Rank (p, q) receives ``x`` from rank (p, (q - shift) mod Q)."""
+        return lax.ppermute(x, COL_AXIS,
+                            self._ring_pairs(self.Q, shift, cyclic))
 
 
 def make_comm(grid) -> LocalComm | MeshComm:

@@ -114,3 +114,90 @@ def test_transposed():
     t = d.transposed()
     assert t.size == (7, 13) and t.block_size == (3, 4)
     assert t.grid_size == (3, 2) and t.src_rank == (2, 1)
+
+
+# -- offsets, fine tiles, retiling, sub-distributions (reference
+#    test_distribution.cpp offset/tile cases) --------------------------------
+
+def _dist_cases():
+    import itertools
+    for (m, mb, P, s, off) in itertools.product(
+            [0, 1, 13, 64, 100], [4, 8], [1, 3], [0, 2], [0, 1, 5, 9]):
+        if s >= P:
+            continue
+        yield m, mb, P, s, off
+
+
+def test_offset_normalization_and_roundtrip():
+    from dlaf_tpu.matrix.distribution import Distribution
+    for m, mb, P, s, off in _dist_cases():
+        d = Distribution((m, m), (mb, mb), (P, P), (s, s), (off, off))
+        # normalized: offset within one block, whole blocks moved to src
+        assert 0 <= d.offset[0] < mb
+        assert d.src_rank[0] == (s + off // mb) % P
+        for g in range(m):
+            gt = d.global_tile_from_global_element((g, g))
+            te = d.tile_element_from_global_element((g, g))
+            back = d.global_element_from_global_tile_and_tile_element(gt, te)
+            assert back == (g, g)
+            assert 0 <= te[0] < mb
+            assert 0 <= gt[0] < d.nr_tiles[0]
+        # element counts sum to the matrix size across ranks
+        tot = sum(d.local_element_count((r, 0))[0] for r in range(P))
+        assert tot == m, (m, mb, P, s, off, tot)
+
+
+def test_fine_tiles_and_retiled():
+    from dlaf_tpu.matrix.distribution import Distribution
+    for m, mb, P, s, off in _dist_cases():
+        for tpb in (1, 2, 4):
+            d = Distribution((m, m), (mb, mb), (P, P), (s, s),
+                             (off, off)).retiled(tpb)
+            ts = d.tile_size
+            assert ts[0] * tpb == mb
+            for g in range(m):
+                ft = d.fine_tile_from_global_element((g, g))
+                te = d.tile_element_from_global_element_fine((g, g))
+                back = d.global_element_from_fine_tile_and_tile_element(
+                    ft, te)
+                assert back == (g, g)
+                assert 0 <= te[0] < ts[0]
+                assert 0 <= ft[0] < d.nr_fine_tiles[0]
+                # fine-tile ownership == element's block ownership
+                assert d.rank_fine_tile(ft) == d.rank_global_element((g, g))
+
+
+def test_sub_distribution_consistency():
+    from dlaf_tpu.matrix.distribution import Distribution
+    d = Distribution((100, 90), (8, 8), (3, 2), (1, 0), (3, 5))
+    for (oi, oj, m, n) in [(0, 0, 100, 90), (7, 11, 20, 30),
+                           (13, 2, 0, 5), (99, 89, 1, 1)]:
+        sub = d.sub_distribution((oi, oj), (m, n))
+        assert sub.size == (m, n)
+        for (i, j) in [(0, 0), (m - 1, n - 1), (m // 2, n // 3)]:
+            if i < 0 or j < 0 or m == 0 or n == 0:
+                continue
+            gp = (oi + i, oj + j)
+            assert sub.rank_global_element((i, j)) == \
+                d.rank_global_element(gp)
+            assert sub.tile_element_from_global_element((i, j)) == \
+                d.tile_element_from_global_element(gp)
+
+
+def test_sub_distribution_bounds():
+    import pytest
+
+    from dlaf_tpu.matrix.distribution import Distribution
+    d = Distribution((10, 10), (4, 4))
+    with pytest.raises(ValueError):
+        d.sub_distribution((8, 0), (3, 1))
+    with pytest.raises(ValueError):
+        d.sub_distribution((-1, 0), (1, 1))
+
+
+def test_tiles_per_block_validation():
+    import pytest
+
+    from dlaf_tpu.matrix.distribution import Distribution
+    with pytest.raises(ValueError):
+        Distribution((10, 10), (8, 8), tiles_per_block=(3, 1))
