@@ -3,13 +3,20 @@
 Equivalent of the reference's ``generalized_to_standard``
 (``eigensolver/gen_to_std.h``, impl ``eigensolver/gen_to_std/impl.h``: tiled
 two-sided hegst with per-k diag hegst + trsm/hemm/her2k updates and panel
-broadcasts).  TPU-native: the whole two-sided transform
-``A <- inv(L) A inv(L)^H`` (itype 1, uplo L; B = L L^H already factored) is
-two distributed triangular solves through the existing driver — XLA overlaps
-the panel communication exactly where the reference hand-pipelines it.
-Full-matrix flops (n^3) vs the reference's symmetric-aware n^3/2 is the known
-round-1 trade; the MXU rectangle is cheaper than the halved-but-fragmented
-update.
+broadcasts).  TPU-native: a cache-oblivious recursion over natural-order
+arrays (partitioner-style distribution — XLA SPMD places the collectives):
+
+  C = inv(L) A inv(L)^H,  A = [[A11, *], [A21, A22]] Hermitian:
+    C11 = hegst(A11, L11)
+    Y   = A21 inv(L11)^H                  (triangle-aware trmm)
+    C21 = inv(L22) (Y - L21 C11)
+    W   = Y - (1/2) L21 C11
+    C22 = hegst(A22 - W L21^H - L21 W^H, L22)   (her2k on the triangle)
+
+Multiply count ~0.56 n^3 (reference hegst: n^3/2; round-1's two full
+triangular solves: n^3).  Only the lower triangle of the result is
+computed; itype 1 (the reference's only supported itype as well for the
+generalized eigensolver driver).
 """
 
 from __future__ import annotations
@@ -21,8 +28,54 @@ import jax.numpy as jnp
 
 from ...matrix.matrix import DistMatrix
 from ...ops import tile
+from ...tune import get_tune_parameters
+from ..factorization.recursive import (_half, rtrmm_left, rtrmm_right,
+                                       rtrtri_lower)
 from ..internal import natural_exact, store_natural_exact
-from ..solver.triangular import triangular_solver
+
+
+def rher2k_lower(c, x, y, base: int):
+    """``c - x y^H - y x^H`` updating only the lower triangle."""
+    m = c.shape[0]
+    if m <= base:
+        return c - tile.dot(x, tile.adj(y)) - tile.dot(y, tile.adj(x))
+    h = _half(m)
+    c11 = rher2k_lower(c[:h, :h], x[:h], y[:h], base)
+    c21 = (c[h:, :h] - tile.dot(x[h:], tile.adj(y[:h]))
+           - tile.dot(y[h:], tile.adj(x[:h])))
+    c22 = rher2k_lower(c[h:, h:], x[h:], y[h:], base)
+    top = jnp.concatenate([c11, c[:h, h:]], axis=1)
+    bot = jnp.concatenate([c21, c22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def rhegst_lower(a, l, base: int):
+    """``inv(L) A inv(L)^H`` with ``A`` Hermitian given by its lower
+    triangle (upper ignored); only the lower triangle of the result is
+    significant."""
+    m = a.shape[0]
+    if m <= base:
+        af = tile.hermitian_full(a, "L")
+        i11 = rtrtri_lower(l, base)
+        return tile.dot(i11, tile.dot(af, tile.adj(i11)))
+    h = _half(m)
+    a11, a21, a22 = a[:h, :h], a[h:, :h], a[h:, h:]
+    l11, l21, l22 = l[:h, :h], l[h:, :h], l[h:, h:]
+
+    c11 = rhegst_lower(a11, l11, base)
+    c11f = tile.hermitian_full(c11, "L")
+    i11 = rtrtri_lower(l11, base)
+    y = rtrmm_right(a21, tile.adj(i11), "U", base)
+    g = tile.dot(l21, c11f)
+    i22 = rtrtri_lower(l22, base)
+    c21 = rtrmm_left(i22, y - g, "L", base)
+    w = y - 0.5 * g
+    inner = rher2k_lower(a22, w, l21, base)
+    c22 = rhegst_lower(inner, l22, base)
+
+    top = jnp.concatenate([c11, a[:h, h:]], axis=1)
+    bot = jnp.concatenate([c21, c22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 @partial(jax.jit, static_argnames=("uplo",))
@@ -40,12 +93,17 @@ def generalized_to_standard(uplo: str, a: DistMatrix,
     if a.size != b.size or a.size[0] != a.size[1]:
         raise ValueError("A, B must be square and same size")
 
-    # materialize the full Hermitian A (pad region stays zero)
-    full = store_natural_exact(a, tile.hermitian_full(natural_exact(a), uplo))
+    base = get_tune_parameters().potrf_base_size
     if uplo == "L":
-        x = triangular_solver("L", "L", "N", "N", 1.0, b, full)
-        out = triangular_solver("R", "L", "C", "N", 1.0, b, x)
-    else:
-        x = triangular_solver("L", "U", "C", "N", 1.0, b, full)
-        out = triangular_solver("R", "U", "N", "N", 1.0, b, x)
-    return out
+        an = natural_exact(a)
+        ln = jnp.tril(natural_exact(b))
+        out = rhegst_lower(an, ln, base)
+        out = jnp.where(tile._row_ge_col(*out.shape), out,
+                        tile.adj(out))          # full Hermitian output
+        return store_natural_exact(a, out)
+    # uplo=U: inv(U)^H A inv(U) = adj of the L case on adjoints
+    an = tile.adj(natural_exact(a))             # lower-stored Hermitian
+    ln = jnp.tril(tile.adj(natural_exact(b)))   # U^H is lower
+    out = rhegst_lower(an, ln, base)
+    out = jnp.where(tile._row_ge_col(*out.shape), out, tile.adj(out))
+    return store_natural_exact(a, tile.adj(out))

@@ -53,6 +53,8 @@ def _cholesky_lower_kernel(a, dist, comm):
     dtype = a.dtype
     eye = jnp.eye(nb, dtype=dtype)
     tril_mask = tile._row_ge_col(nb, nb)
+    from ...tune import get_tune_parameters
+    depth = get_tune_parameters().herk_split_depth
 
     for k in range(nrtile):
         pk, qk = k % PP, k % QQ
@@ -106,10 +108,47 @@ def _cholesky_lower_kernel(a, dist, comm):
         wcol = gather_my_rows(wnat_c, lnt, nb, QQ, comm.q, c0)
 
         trail = lax.slice(a, (r0 * nb, c0 * nb), (lmt * nb, lnt * nb))
-        upd = tile.dot(wrow, tile.adj(wcol))
-        a = a.at[r0 * nb:, c0 * nb:].set(trail - upd)
+        trail = _trailing_update(trail, wrow, wcol, r0, c0, nb, PP, QQ,
+                                 depth)
+        a = a.at[r0 * nb:, c0 * nb:].set(trail)
 
     return a
+
+
+def _trailing_update(tr, wr, wc, rt0, ct0, nb, PP, QQ, depth):
+    """Triangle-aware trailing update ``tr - wr wc^H`` on the local block.
+
+    The reference updates herk-diag/gemm-offdiag tiles of the lower
+    triangle only (``cholesky/impl.h:273-299``); the dense local-rectangle
+    form costs 2x the flops.  This recursion prunes sub-blocks whose every
+    tile is strictly above the global diagonal, using *rank-uniform* global
+    tile bounds (local tile r on grid-row p is global ``r*P + p`` — bounds
+    over all p keep the SPMD program identical on every rank).  Pruned
+    regions keep their (insignificant, upper-triangle) content.  Depth from
+    ``tune.herk_split_depth``; wasted flops ~ 2^-depth of the rectangle.
+    """
+    nr = tr.shape[0] // nb
+    nc = tr.shape[1] // nb
+    if nr == 0 or nc == 0:
+        return tr
+    # strictly-upper on every rank: max global row < min global col
+    if (rt0 + nr - 1) * PP + (PP - 1) < ct0 * QQ:
+        return tr
+    if depth <= 0 or (nr <= 1 and nc <= 1):
+        return tr - tile.dot(wr, tile.adj(wc))
+    if nc >= nr:
+        h = nc // 2
+        left = _trailing_update(tr[:, : h * nb], wr, wc[: h * nb],
+                                rt0, ct0, nb, PP, QQ, depth - 1)
+        right = _trailing_update(tr[:, h * nb:], wr, wc[h * nb:],
+                                 rt0, ct0 + h, nb, PP, QQ, depth - 1)
+        return jnp.concatenate([left, right], axis=1)
+    h = nr // 2
+    top = _trailing_update(tr[: h * nb], wr[: h * nb], wc,
+                           rt0, ct0, nb, PP, QQ, depth - 1)
+    bot = _trailing_update(tr[h * nb:], wr[h * nb:], wc,
+                           rt0 + h, ct0, nb, PP, QQ, depth - 1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 @partial(jax.jit, static_argnames=("uplo",))

@@ -2,10 +2,11 @@
 
 Equivalent of the reference's ``triangular_inverse`` (``inverse/triangular.h``,
 impl ``inverse/triangular/impl.h``: tiled trtri with trsm/gemm updates).
-TPU-native formulation: X = op-free solve tri(A) X = I through the existing
-distributed triangular solver driver, then mask X back to the triangle.  The
-identity RHS costs ~n^3/2 MXU flops vs the reference's n^3/3 tiled trtri —
-acceptable until a panelized trtri lands.
+TPU-native formulation: the cache-oblivious triangle-aware recursion
+``inv([[L11, 0], [L21, L22]]) = [[I11, 0], [-I22 L21 I11, I22]]``
+(``factorization/recursive.py::rtrtri_lower``) on natural-order arrays —
+~n^3/3 multiplies, matching the reference's flop model; the SPMD
+partitioner distributes the gemms.
 """
 
 from __future__ import annotations
@@ -34,13 +35,23 @@ def triangular_inverse(uplo: str, diag: str, a: DistMatrix) -> DistMatrix:
     if a.size[0] != a.size[1]:
         raise ValueError("A must be square")
 
-    n = a.size[0]
-    # identity with the same distribution; pad diag 1 keeps padded block
-    # solvable and is masked out on store anyway
-    eye_nat = jnp.eye(a.dist.padded_size[0], a.dist.padded_size[1],
-                      dtype=a.dtype)
-    ident = store_natural(a, eye_nat)
-    x = triangular_solver("L", uplo, "N", diag, 1.0, a, ident)
-    nat = natural_padded(x)
-    nat = tile._tri(nat, uplo, diag)
-    return store_natural(a, nat)
+    from ...tune import get_tune_parameters
+    from ..factorization.recursive import rtrtri_lower
+    from ..internal import natural_exact, store_natural_exact
+
+    base = get_tune_parameters().potrf_base_size
+    nat = natural_exact(a)
+    if uplo == "L":
+        ln = jnp.tril(nat)
+        if diag == "U":
+            ln = ln - jnp.diag(jnp.diag(ln)) + jnp.eye(ln.shape[0],
+                                                       dtype=ln.dtype)
+        inv = rtrtri_lower(ln, base)
+    else:
+        un = jnp.tril(tile.adj(nat))            # U^H is lower
+        if diag == "U":
+            un = un - jnp.diag(jnp.diag(un)) + jnp.eye(un.shape[0],
+                                                       dtype=un.dtype)
+        inv = tile.adj(rtrtri_lower(un, base))  # inv(U) = inv(U^H)^H
+    inv = tile._tri(inv, uplo, diag)
+    return store_natural_exact(a, inv)

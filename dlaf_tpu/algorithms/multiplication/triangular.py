@@ -3,10 +3,11 @@
 Equivalent of the reference's ``triangular_multiplication``
 (``multiplication/triangular.h:48,127``, impl
 ``multiplication/triangular/impl.h``), all side/uplo/op/diag variants.
-Partitioner-style: mask the triangle in natural order, let XLA schedule the
-distributed matmul.  (A triangle-aware split that skips the zero half is a
-planned optimization; the reference's tiled loop gets this for free, we trade
-<=2x redundant MXU flops for zero hand-written communication.)
+Partitioner-style: mask the triangle in natural order and multiply through
+the cache-oblivious triangle-aware recursion
+(``factorization/recursive.py::rtrmm_left/right``) — the zero half of the
+triangle costs nothing, matching the reference's tiled-loop flop count
+(~m n k/2); XLA SPMD schedules the distributed gemms.
 """
 
 from __future__ import annotations
@@ -37,7 +38,15 @@ def triangular_multiplication(side: str, uplo: str, trans: str, diag: str,
     if (side == "L" and b.size[0] != k) or (side == "R" and b.size[1] != k):
         raise ValueError("size mismatch")
 
+    from ...tune import get_tune_parameters
+    from ..factorization.recursive import rtrmm_left, rtrmm_right
+
+    base = get_tune_parameters().potrf_base_size
     na = tile.op(trans, tile._tri(natural_of_ref(a), uplo, diag))
+    uplo_eff = uplo if trans == "N" else ("U" if uplo == "L" else "L")
     nbv = natural_of_ref(b)
-    prod = tile.dot(na, nbv) if side == "L" else tile.dot(nbv, na)
+    if side == "L":
+        prod = rtrmm_left(na, nbv, uplo_eff, base)
+    else:
+        prod = rtrmm_right(nbv, na, uplo_eff, base)
     return store_into_ref(b, jnp.asarray(alpha, nbv.dtype) * prod)
