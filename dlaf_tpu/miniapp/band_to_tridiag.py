@@ -7,7 +7,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..algorithms.eigensolver.band_to_tridiag import band_to_tridiagonal
+from ..algorithms.eigensolver.hh_chase import hh_band_to_tridiagonal
 from ..matrix import util as mu
+from ..tune import get_tune_parameters
 from ..types import total_ops
 from . import options as opt
 from .runner import run
@@ -29,6 +31,8 @@ def main(argv=None):
         return {"ab": ab}
 
     def alg(ab):
+        if get_tune_parameters().band_to_tridiag_algo != "givens":
+            return hh_band_to_tridiagonal(ab.copy(), band)
         return band_to_tridiagonal(ab.copy(), band)
 
     def check(state, result):

@@ -54,3 +54,23 @@ def test_debug_dump_flags(tmp_path, monkeypatch):
     debug_dump("eigensolver", a, "x")
     set_tune_parameters(debug_dump_eigensolver=False)
     assert (tmp_path / "eigensolver_x.npz").exists()
+
+
+def test_hdf5_roundtrip(tmp_path):
+    """HDF5 snapshot round trip with block-size change on load
+    (reference ``matrix/hdf5.h`` P-write/Q-read)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dlaf_tpu.matrix.io import load_matrix, save_matrix
+    from dlaf_tpu.matrix.matrix import DistMatrix
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((37, 29)).astype(np.float32)
+    mat = DistMatrix.from_natural(jnp.asarray(a), (8, 8))
+    path = str(tmp_path / "snap.h5")
+    save_matrix(path, mat)
+    back = load_matrix(path)
+    assert back.block_size == (8, 8)
+    assert np.array_equal(np.asarray(back.to_natural()), a)
+    finer = load_matrix(path, block_size=(4, 4))
+    assert np.array_equal(np.asarray(finer.to_natural()), a)
