@@ -52,11 +52,17 @@ def hermitian_eigensolver(
         band_size: Optional[int] = None,
         eigenvalues_index_end: Optional[int] = None,
         leaf_size: int = 64,
+        donate_input: bool = False,
 ) -> Tuple[jnp.ndarray, DistMatrix]:
     """Eigenvalues (ascending) and eigenvectors of a Hermitian matrix.
 
     Returns ``(eigenvalues [n_ev], eigenvectors DistMatrix [n, n_ev])``
     where ``n_ev = eigenvalues_index_end or n``.
+
+    ``donate_input=True`` releases ``a``'s device buffer after the
+    reduction stage (the reference overwrites A in place; value semantics
+    otherwise keep the input alive through the whole chain — at n = 32768
+    that extra n^2 buffer is the difference between fitting and OOM).
     """
     if uplo not in ("L", "U"):
         raise ValueError("invalid uplo")
@@ -92,13 +98,32 @@ def hermitian_eigensolver(
         row_shard = NamedSharding(mesh, P(("p", "q"), None))
         col_shard = NamedSharding(mesh, P(None, ("p", "q")))
 
+    tp = get_tune_parameters()
+    timer = None
+    if tp.trace_eigensolver_stages:
+        from ...utils.trace import StageTimer
+        timer = StageTimer()
+
+    def mark(name, x=None):
+        if timer is not None:
+            if x is not None:       # force completion before attributing
+                np.asarray(jnp.asarray(x).ravel()[0:1])
+            timer.mark(name)
+
+    adtype, ablock, agrid = a.dtype, a.block_size, a.grid
     mat_hh, taus = reduction_to_band(a, band)
+    if donate_input:
+        a = None          # drop our reference; frees once the caller's is
+        # gone and the reduction has consumed the buffer
+    mark("reduction_to_band", mat_hh.data)
     ab = np.asarray(extract_band(mat_hh, band))
-    use_hh = get_tune_parameters().band_to_tridiag_algo != "givens"
+    mark("extract_band")
+    use_hh = tp.band_to_tridiag_algo != "givens"
     if use_hh:
         res = hh_band_to_tridiagonal(ab, band)
     else:
         res = band_to_tridiagonal(ab, band)
+    mark("band_to_tridiag (host chase)")
 
     lam, z = tridiagonal_eigensolver(jnp.asarray(res.d, rdtype),
                                      jnp.asarray(res.e, rdtype),
@@ -106,19 +131,25 @@ def hermitian_eigensolver(
                                      q_sharding=row_shard)
     lam = lam[:n_ev]
     z = z[:, :n_ev]
+    mark("tridiag D&C", z)
 
     if use_hh:
         e2 = bt_hh_apply(res, z, e_sharding=col_shard)
     else:
         e2 = bt_band_to_tridiagonal(res, z)
-    if e2.dtype != a.dtype:
-        e2 = e2.astype(a.dtype)
+    mark("bt_band_to_tridiag", e2)
+    if e2.dtype != adtype:
+        e2 = e2.astype(adtype)
     e = bt_reduction_to_band(band, e2, mat_hh, taus, e_sharding=col_shard)
+    mark("bt_reduction_to_band", e)
 
     evec = DistMatrix.from_natural(
-        jnp.zeros((n, n_ev), a.dtype), a.block_size, a.grid)
+        jnp.zeros((n, n_ev), adtype), ablock, agrid)
     evec = store_natural_exact(evec, e)
     debug_dump("eigensolver", evec, "eigenvectors")
+    if timer is not None:
+        print("eigensolver stage breakdown:")
+        timer.report()
     return lam, evec
 
 

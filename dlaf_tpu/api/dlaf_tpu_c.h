@@ -45,17 +45,27 @@ int dlaf_cholesky_d(int ctx, char uplo, double* a,
                     struct DLAF_descriptor desca);
 
 /* Inverse from Cholesky (reference dlaf_c/inverse/cholesky.h) */
+int dlaf_cholesky_inverse_s(int ctx, char uplo, float* a,
+                            struct DLAF_descriptor desca);
 int dlaf_cholesky_inverse_d(int ctx, char uplo, double* a,
                             struct DLAF_descriptor desca);
 
 /* Symmetric/Hermitian eigensolver (reference dlaf_c/eigensolver/...) */
+int dlaf_symmetric_eigensolver_s(int ctx, char uplo, float* a,
+                                 struct DLAF_descriptor desca, float* w,
+                                 float* z, struct DLAF_descriptor descz);
 int dlaf_symmetric_eigensolver_d(int ctx, char uplo, double* a,
                                  struct DLAF_descriptor desca, double* w,
                                  double* z, struct DLAF_descriptor descz);
 
 /* ScaLAPACK-style wrappers */
+void dlaf_pspotrf(char uplo, int n, float* a, int ia, int ja,
+                  struct DLAF_descriptor desca, int ctx, int* info);
 void dlaf_pdpotrf(char uplo, int n, double* a, int ia, int ja,
                   struct DLAF_descriptor desca, int ctx, int* info);
+void dlaf_pssyevd(char uplo, int n, float* a, struct DLAF_descriptor desca,
+                  float* w, float* z, struct DLAF_descriptor descz,
+                  int ctx, int* info);
 void dlaf_pdsyevd(char uplo, int n, double* a, struct DLAF_descriptor desca,
                   double* w, double* z, struct DLAF_descriptor descz,
                   int ctx, int* info);

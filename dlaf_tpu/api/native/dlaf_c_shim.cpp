@@ -124,23 +124,53 @@ int dlaf_cholesky_d(int ctx, char uplo, double* a,
   return chol(ctx, uplo, "d", a, d);
 }
 
-int dlaf_cholesky_inverse_d(int ctx, char uplo, double* a,
-                            struct DLAF_descriptor d) {
+static int chol_inv(int ctx, char uplo, const char* typ, void* a,
+                    struct DLAF_descriptor d) {
   return call_int("cholesky_inverse", "(iisLiiiii)", ctx,
-                  static_cast<int>(uplo), "d",
+                  static_cast<int>(uplo), typ,
                   reinterpret_cast<long long>(a), d.m, d.n, d.mb, d.nb,
                   d.ld);
+}
+
+int dlaf_cholesky_inverse_s(int ctx, char uplo, float* a,
+                            struct DLAF_descriptor d) {
+  return chol_inv(ctx, uplo, "s", a, d);
+}
+
+int dlaf_cholesky_inverse_d(int ctx, char uplo, double* a,
+                            struct DLAF_descriptor d) {
+  return chol_inv(ctx, uplo, "d", a, d);
+}
+
+static int eig(int ctx, char uplo, const char* typ, void* a, void* w,
+               void* z, struct DLAF_descriptor desca,
+               struct DLAF_descriptor descz) {
+  return call_int("eigensolver", "(iisLLLiiiii)", ctx,
+                  static_cast<int>(uplo), typ,
+                  reinterpret_cast<long long>(a),
+                  reinterpret_cast<long long>(w),
+                  reinterpret_cast<long long>(z), desca.n, desca.mb,
+                  desca.nb, desca.ld, descz.ld);
+}
+
+int dlaf_symmetric_eigensolver_s(int ctx, char uplo, float* a,
+                                 struct DLAF_descriptor desca, float* w,
+                                 float* z, struct DLAF_descriptor descz) {
+  return eig(ctx, uplo, "s", a, w, z, desca, descz);
 }
 
 int dlaf_symmetric_eigensolver_d(int ctx, char uplo, double* a,
                                  struct DLAF_descriptor desca, double* w,
                                  double* z, struct DLAF_descriptor descz) {
-  return call_int("eigensolver", "(iisLLLiiiii)", ctx,
-                  static_cast<int>(uplo), "d",
-                  reinterpret_cast<long long>(a),
-                  reinterpret_cast<long long>(w),
-                  reinterpret_cast<long long>(z), desca.n, desca.mb,
-                  desca.nb, desca.ld, descz.ld);
+  return eig(ctx, uplo, "d", a, w, z, desca, descz);
+}
+
+void dlaf_pspotrf(char uplo, int n, float* a, int ia, int ja,
+                  struct DLAF_descriptor desca, int ctx, int* info) {
+  (void)n;
+  int rc = (ia == 1 && ja == 1) ? dlaf_cholesky_s(ctx, uplo, a, desca)
+                                : -1;
+  if (info) *info = rc;
 }
 
 void dlaf_pdpotrf(char uplo, int n, double* a, int ia, int ja,
@@ -148,6 +178,14 @@ void dlaf_pdpotrf(char uplo, int n, double* a, int ia, int ja,
   (void)n;
   int rc = (ia == 1 && ja == 1) ? dlaf_cholesky_d(ctx, uplo, a, desca)
                                 : -1;
+  if (info) *info = rc;
+}
+
+void dlaf_pssyevd(char uplo, int n, float* a, struct DLAF_descriptor desca,
+                  float* w, float* z, struct DLAF_descriptor descz,
+                  int ctx, int* info) {
+  (void)n;
+  int rc = dlaf_symmetric_eigensolver_s(ctx, uplo, a, desca, w, z, descz);
   if (info) *info = rc;
 }
 

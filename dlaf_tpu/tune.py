@@ -57,6 +57,10 @@ class TuneParameters:
     #: band size divisor: band = max(block / divisor, min_band)
     #: (reference ``internal/get_band_size.h``).
     band_size_divisor: int = _env("DLAF_BAND_SIZE_DIVISOR", 2, int)
+    #: print a wall-clock stage breakdown of every hermitian_eigensolver
+    #: call (forces a device sync per stage — diagnostics only)
+    trace_eigensolver_stages: bool = _env("DLAF_TRACE_EIGENSOLVER_STAGES",
+                                          False, bool)
     #: debug dumps of algorithm inputs/outputs (reference's 9 HDF5 dump
     #: flags, ``tune.h``); writes .npz via matrix/io.py when set.
     debug_dump_cholesky: bool = _env("DLAF_DEBUG_DUMP_CHOLESKY", False, bool)
