@@ -140,6 +140,10 @@ def bt_hh_apply(res: HHChaseResult, E, e_sharding=None):
         E = E.astype(res.phases.dtype)
         E = jnp.asarray(res.phases)[:, None] * E
 
+    from ...utils.asserts import assert_moderate
+    assert_moderate(res.V.ndim == 2 and res.V.shape[1] == b,
+                    "reflector stream width != band", shape=res.V.shape,
+                    band=b)
     R = res.V.shape[0]
     if R == 0 or n <= 2 or b <= 1:
         return E[:, 0] if squeeze else E

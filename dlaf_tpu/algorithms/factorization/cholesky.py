@@ -46,7 +46,8 @@ def _cholesky_lower_kernel(a, dist, comm):
     """Rank-local lower-Cholesky body; ``a`` is the local storage block."""
     m, n = dist.size
     mb, nb = dist.block_size
-    assert mb == nb, "cholesky requires square blocks"
+    from ...utils.asserts import dlaf_assert
+    dlaf_assert(mb == nb, "cholesky requires square blocks", mb=mb, nb=nb)
     PP, QQ = comm.P, comm.Q
     lmt, lnt = dist.local_nr_tiles
     nrtile = dist.nr_tiles[0]

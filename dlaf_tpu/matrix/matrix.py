@@ -38,6 +38,11 @@ class DistMatrix:
             raise ValueError(
                 f"grid shape {grid.shape} != distribution grid "
                 f"{dist.grid_size}")
+        from ..utils.asserts import assert_moderate
+        shape = getattr(data, "shape", None)
+        assert_moderate(shape is None or tuple(shape) == dist.padded_size,
+                        "storage shape != padded distribution size",
+                        shape=shape, padded=dist.padded_size)
 
     # -- pytree protocol -----------------------------------------------------
     def tree_flatten(self):

@@ -72,15 +72,17 @@ inline int64_t chase_step(T* ab, int64_t ld, int64_t n, int64_t b, int64_t j,
   const int64_t l = (b < n - j) ? b : n - j;
 
   // ---- w = tau * D v on the Hermitian diagonal block (lower stored) ----
+  // split into a saxpy pass and a dot pass so both vectorize (the fused
+  // two-output loop compiles to scalar FMAs)
   for (int64_t c = 0; c < l; ++c) w[c] = T(0);
   for (int64_t c = 0; c < l; ++c) {
-    const T* col = ab + (j + c) * ld;
-    T vc = v[c];
+    const T* __restrict__ col = ab + (j + c) * ld;
+    const T vc = v[c];
+    T* __restrict__ wc = w + c;
+    for (int64_t i = 1; i < l - c; ++i) wc[i] += col[i] * vc;
     T acc = col[0] * vc;               // diagonal
-    for (int64_t i = 1; i < l - c; ++i) {
-      w[c + i] += col[i] * vc;
-      acc += conj_(col[i]) * v[c + i];
-    }
+    const T* __restrict__ vcp = v + c;
+    for (int64_t i = 1; i < l - c; ++i) acc += conj_(col[i]) * vcp[i];
     w[c] += acc;
   }
   // w = tau*Dv - (tau/2)(w^H v) v  with w currently = D v
