@@ -68,3 +68,47 @@ def storage_to_natural(s, dist: Distribution):
     x = s.reshape(P, lmt, mb, Q, lnt, nb)
     x = x.transpose(1, 0, 2, 4, 3, 5)
     return x.reshape(Mp, Np)
+
+
+class ColMajorLayout:
+    """ScaLAPACK-compatible rank-local column-major layout.
+
+    Equivalent of the reference's ``matrix/col_major_layout.h``: maps a
+    rank's local tile index to the byte/element offset of that tile inside
+    the rank-local column-major buffer (``lld`` leading dimension), the
+    contract of every ScaLAPACK descriptor.  Used by the C ABI bridge to
+    wrap user buffers without copies and by import/export of local blocks.
+    """
+
+    def __init__(self, dist: Distribution, rank=(0, 0), lld: int | None = None):
+        self.dist = dist
+        self.rank = tuple(rank)
+        lm, ln = dist.local_element_count(self.rank)
+        self.local_size = (lm, ln)
+        self.lld = int(lld) if lld is not None else max(lm, 1)
+        if self.lld < lm:
+            raise ValueError(f"lld {self.lld} < local rows {lm}")
+
+    def local_tile_origin(self, lt) -> tuple:
+        """(row, col) element origin of local tile ``lt`` in the rank-local
+        column-major buffer."""
+        mb, nb = self.dist.block_size
+        return (lt[0] * mb, lt[1] * nb)
+
+    def tile_offset(self, lt) -> int:
+        """Element offset of local tile ``lt``'s top-left corner."""
+        r, c = self.local_tile_origin(lt)
+        return r + c * self.lld
+
+    def tile_size_of(self, lt) -> tuple:
+        """True (unpadded) size of local tile ``lt`` on this rank."""
+        mb, nb = self.dist.block_size
+        lm, ln = self.local_size
+        return (min(mb, lm - lt[0] * mb), min(nb, ln - lt[1] * nb))
+
+    def min_mem_size(self) -> int:
+        """Elements needed by the buffer (reference ``minMemSize``)."""
+        lm, ln = self.local_size
+        if lm == 0 or ln == 0:
+            return 0
+        return self.lld * (ln - 1) + lm

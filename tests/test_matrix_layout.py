@@ -101,3 +101,33 @@ def test_pytree_jit():
     assert isinstance(out, DistMatrix)
     np.testing.assert_array_equal(np.asarray(out.to_natural()),
                                   2 * np.eye(8))
+
+
+def test_col_major_layout():
+    """ScaLAPACK local layout offsets (reference col_major_layout.h)."""
+    from dlaf_tpu.matrix.distribution import Distribution
+    from dlaf_tpu.matrix.layout import ColMajorLayout
+
+    d = Distribution((100, 90), (8, 8), (3, 2), (0, 0))
+    for rank in [(0, 0), (2, 1), (1, 0)]:
+        lay = ColMajorLayout(d, rank)
+        lm, ln = lay.local_size
+        assert lay.min_mem_size() == (0 if lm * ln == 0 else
+                                      lay.lld * (ln - 1) + lm)
+        # offsets are within the buffer and column-major consistent
+        import numpy as np
+        mb = 8
+        for lt in [(0, 0), (1, 0), (0, 1), (2, 3)]:
+            r, c = lay.local_tile_origin(lt)
+            if r >= lm or c >= ln:
+                continue
+            assert lay.tile_offset(lt) == r + c * lay.lld
+            th, tw = lay.tile_size_of(lt)
+            assert 0 < th <= mb and 0 < tw <= mb
+            assert r + th <= lm and c + tw <= ln
+    # padded lld
+    lay = ColMajorLayout(d, (0, 0), lld=128)
+    assert lay.tile_offset((0, 1)) == 8 * 128
+    import pytest
+    with pytest.raises(ValueError):
+        ColMajorLayout(d, (0, 0), lld=1)
