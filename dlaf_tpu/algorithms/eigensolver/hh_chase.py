@@ -28,8 +28,21 @@ Algorithm (standard successive band reduction, one stage b -> 1):
 
 The value recurrence is sequential and stays on the host (the reference
 keeps this stage CPU-only as well): a C++ kernel (``ops/native/
-hh_chase.cpp``) with pipelined-sweep OpenMP parallelism, with this module's
-numpy implementation as reference/fallback.
+hh_chase.cpp``) with pipelined-sweep thread parallelism, with this
+module's numpy implementation as reference/fallback.
+
+Why the band is gathered rather than 1D-block distributed (the
+reference's ``BandBlock<dist>`` + ``SweepWorkerDist`` P2P pipeline,
+``band_to_tridiag/mc.h:173-186,569``): the reference distributes because
+its band lives in rank-local tile memory and MPI ranks each own a slice —
+the chase *must* pipeline across ranks.  Here the band is O(n·b) values
+(17 MB at n = 32768, b = 128) against an O(n^2/D) per-device budget
+measured in GB, so the single-controller host always holds it trivially;
+the chase's parallelism comes from the same staggered-sweep pipeline the
+reference uses across ranks, executed across host threads (sweep ``s``
+step ``t`` waits on sweep ``s-1`` step ``t+2``).  The P2P primitive the
+distributed variant would ride (``MeshComm.shift_p/q``) exists for the
+multi-host case where host memory, not device memory, became the bound.
 """
 
 from __future__ import annotations
