@@ -189,6 +189,10 @@ def cholesky_factorization(mat: DistMatrix, uplo: str = "L") -> DistMatrix:
         l_nat = lpotrf_lower(natural_exact(mat))
         return store_natural_exact(mat, l_nat)
 
+    from ...utils.asserts import dlaf_assert
+    dlaf_assert(mat.dist.src_rank == (0, 0),
+                "the k-loop driver assumes src_rank (0, 0)",
+                src_rank=mat.dist.src_rank)
     grid = mat.grid
     fn = jax.shard_map(
         lambda d: _cholesky_lower_kernel(d, mat.dist, make_comm(grid)),

@@ -45,10 +45,10 @@ class DLAF_descriptor:
     ld: int = 0
 
     def __post_init__(self):
-        if self.i != 1 or self.j != 1:
-            raise NotImplementedError("submatrix origins (i, j) != 1")
-        if self.isrc != 0 or self.jsrc != 0:
-            raise NotImplementedError("nonzero source rank offsets")
+        if self.i < 1 or self.j < 1:
+            raise ValueError("submatrix origins are 1-based")
+        if self.isrc < 0 or self.jsrc < 0:
+            raise ValueError("invalid source rank offsets")
         if self.mb != self.nb:
             raise ValueError("square blocks required")
 
@@ -92,22 +92,37 @@ def _grid_from_context(ctx: int):
 
 
 def _wrap(a: np.ndarray, desc: DLAF_descriptor, grid):
-    """User buffer (column-major natural order) -> DistMatrix."""
+    """User buffer (column-major natural order) -> DistMatrix.
+
+    Honors the full ScaLAPACK descriptor: ``(i, j)`` select the operand
+    submatrix of the buffer's global matrix (1-based) and ``isrc/jsrc``
+    place its top-left block on that source rank (reference
+    ``make_layout``, ``src/c_api/utils.h:19-20``).
+    """
     from ..matrix.matrix import DistMatrix
     if a.shape != (desc.m, desc.n):
         a = np.asarray(a).reshape(desc.m, desc.n, order="F")
-    return DistMatrix.from_natural(jnp.asarray(a), (desc.mb, desc.nb), grid)
+    sub = a[desc.i - 1:, desc.j - 1:]
+    gs = (1, 1) if grid is None else grid.shape
+    src = (desc.isrc % gs[0], desc.jsrc % gs[1])
+    return DistMatrix.from_natural(jnp.asarray(np.ascontiguousarray(sub)),
+                                   (desc.mb, desc.nb), grid, src_rank=src)
 
 
 def _writeback(dst: np.ndarray, mat, desc: DLAF_descriptor):
     out = np.asarray(mat.to_natural())
-    if dst.shape == (desc.m, desc.n):
+    oi, oj = desc.i - 1, desc.j - 1
+    if dst.shape == out.shape:          # exact operand view (e.g. partial z)
         dst[...] = out
-    elif out.size == dst.size:
-        dst[...] = out.reshape(dst.shape, order="F")
+    elif dst.ndim == 2 and dst.shape == (desc.m, desc.n):
+        dst[oi:oi + out.shape[0], oj:oj + out.shape[1]] = out
+    elif dst.ndim == 1 and dst.size == desc.m * desc.n:
+        # flat column-major buffer: F-order view, then window write
+        full = dst.reshape((desc.m, desc.n), order="F")
+        full[oi:oi + out.shape[0], oj:oj + out.shape[1]] = out
     else:
-        # partial-spectrum result into a flat (Fortran) full-size buffer:
-        # fill the leading columns, leave the rest untouched
+        # partial-spectrum result into a flat full-size buffer: leading
+        # columns only (valid for origin (1, 1))
         flat = dst.reshape(-1)
         flat[: out.size] = out.ravel(order="F")
 

@@ -47,15 +47,21 @@ def unpad_natural(a, dist: Distribution):
 def natural_to_storage(a_padded, dist: Distribution):
     """Permute tile rows/cols from natural to cyclic storage order.
 
-    Natural tile row ``t = l * P + p`` moves to storage row ``p * lmt + l``.
-    Pure reshape/transpose; under a ``P('p','q')`` sharding this lowers to the
-    minimal redistribution collective.
+    Natural tile row ``t = l * P + r`` is owned by rank
+    ``p = (r + src) % P`` and moves to storage row ``p * lmt + l``.
+    Pure reshape/roll/transpose; under a ``P('p','q')`` sharding this
+    lowers to the minimal redistribution collective.
     """
     mb, nb = dist.block_size
     P, Q = dist.grid_size
+    sp, sq = dist.src_rank
     lmt, lnt = dist.local_nr_tiles
     Mp, Np = dist.padded_size
     x = a_padded.reshape(lmt, P, mb, lnt, Q, nb)
+    if sp:
+        x = jnp.roll(x, sp, axis=1)
+    if sq:
+        x = jnp.roll(x, sq, axis=4)
     x = x.transpose(1, 0, 2, 4, 3, 5)
     return x.reshape(Mp, Np)
 
@@ -63,10 +69,15 @@ def natural_to_storage(a_padded, dist: Distribution):
 def storage_to_natural(s, dist: Distribution):
     mb, nb = dist.block_size
     P, Q = dist.grid_size
+    sp, sq = dist.src_rank
     lmt, lnt = dist.local_nr_tiles
     Mp, Np = dist.padded_size
     x = s.reshape(P, lmt, mb, Q, lnt, nb)
     x = x.transpose(1, 0, 2, 4, 3, 5)
+    if sp:
+        x = jnp.roll(x, -sp, axis=1)
+    if sq:
+        x = jnp.roll(x, -sq, axis=4)
     return x.reshape(Mp, Np)
 
 

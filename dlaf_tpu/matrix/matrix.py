@@ -78,16 +78,20 @@ class DistMatrix:
     # -- constructors -----------------------------------------------------------
     @classmethod
     def from_natural(cls, arr, block_size, grid: Optional[Grid] = None,
-                     *, diag_pad=None) -> "DistMatrix":
+                     *, diag_pad=None, src_rank=(0, 0)) -> "DistMatrix":
         """Distribute a natural (row-major global) array.
 
         ``diag_pad=1.0`` keeps padded diagonals factorizable (SPD inputs).
+        ``src_rank`` is the rank owning the top-left block (ScaLAPACK
+        isrc/jsrc); the partitioner-style algorithms are src-agnostic, the
+        shard_map k-loop drivers require (0, 0).
         """
         arr = jnp.asarray(arr)
         if isinstance(block_size, int):
             block_size = (block_size, block_size)
         gs = (1, 1) if grid is None else grid.shape
-        dist = Distribution(tuple(arr.shape), tuple(block_size), gs)
+        dist = Distribution(tuple(arr.shape), tuple(block_size), gs,
+                            tuple(src_rank))
         padded = pad_natural(arr, dist, diag_fill=diag_pad)
         data = natural_to_storage(padded, dist)
         if grid is not None:
