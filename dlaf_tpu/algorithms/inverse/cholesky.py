@@ -16,8 +16,29 @@ import jax.numpy as jnp
 
 from ...matrix.matrix import DistMatrix
 from ...ops import tile
+from ...tune import get_tune_parameters
+from ..factorization.recursive import _half, rtrmm_right
 from ..internal import natural_exact, store_natural_exact
 from .triangular import triangular_inverse
+
+
+def rlauum_lower(l, base: int):
+    """``L^H L`` for lower-triangular ``L`` (true zeros above), full
+    Hermitian output — the lauum step with triangle-aware flops
+    (~n^3/4 multiplies vs n^3 dense):
+    ``[[L11^H L11 + L21^H L21, L21^H L22], [., L22^H L22]]``."""
+    m = l.shape[0]
+    if m <= base:
+        t = jnp.tril(l)
+        return tile.dot(tile.adj(t), t)
+    h = _half(m)
+    l11, l21, l22 = l[:h, :h], l[h:, :h], l[h:, h:]
+    c11 = rlauum_lower(l11, base) + tile.dot(tile.adj(l21), l21)
+    c12 = rtrmm_right(tile.adj(l21), l22, "L", base)
+    c22 = rlauum_lower(l22, base)
+    top = jnp.concatenate([c11, c12], axis=1)
+    bot = jnp.concatenate([tile.adj(c12), c22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 @partial(jax.jit, static_argnames=("uplo",))
@@ -31,11 +52,14 @@ def inverse_from_cholesky_factor(uplo: str, a: DistMatrix) -> DistMatrix:
     """
     if uplo not in ("L", "U"):
         raise ValueError("invalid uplo")
+    base = get_tune_parameters().potrf_base_size
     tinv = triangular_inverse(uplo, "N", a)
     nat = natural_exact(tinv)
-    t = tile._tri(nat, uplo, "N")
-    inv = tile.dot(tile.adj(t), t) if uplo == "L" else \
-        tile.dot(t, tile.adj(t))
+    if uplo == "L":
+        inv = rlauum_lower(jnp.tril(nat), base)
+    else:
+        # U^-1 U^-H = L^H L with L = (U^-1)^H lower
+        inv = rlauum_lower(jnp.tril(tile.adj(nat)), base)
     return store_natural_exact(a, inv)
 
 
