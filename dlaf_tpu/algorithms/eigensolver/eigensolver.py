@@ -41,10 +41,12 @@ from .tridiag_solver import tridiagonal_eigensolver
 
 def get_band_size(nb: int) -> int:
     """Reference heuristic (``internal/get_band_size.h``):
-    ``max(nb / divisor, min_band)`` clipped to the block size."""
+    ``max(nb / divisor, min_band)`` clipped to the block size — plus a cap
+    (``eigensolver_max_band``) because the host chase costs O(n^2 b)."""
     p = get_tune_parameters()
-    return max(1, min(nb, max(nb // p.band_size_divisor,
-                              p.eigensolver_min_band)))
+    band = max(nb // p.band_size_divisor, p.eigensolver_min_band)
+    return max(1, min(nb, band, max(p.eigensolver_max_band,
+                                    p.eigensolver_min_band)))
 
 
 def hermitian_eigensolver(
@@ -108,7 +110,8 @@ def hermitian_eigensolver(
         if timer is not None:
             if x is not None:       # force completion before attributing
                 np.asarray(jnp.asarray(x).ravel()[0:1])
-            timer.mark(name)
+            dt = timer.mark(name)
+            print(f"  [stage] {name}: {dt:.2f}s", flush=True)
 
     adtype, ablock, agrid = a.dtype, a.block_size, a.grid
     mat_hh, taus = reduction_to_band(a, band)

@@ -54,6 +54,10 @@ class TuneParameters:
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)
+    #: maximum auto-chosen band size: the host chase costs O(n^2 b), so
+    #: huge blocks must not drag the band with them (nb=2048 would give
+    #: band 1024; measured best ~128-512).  Explicit band_size overrides.
+    eigensolver_max_band: int = _env("DLAF_EIGENSOLVER_MAX_BAND", 512, int)
     #: band size divisor: band = max(block / divisor, min_band)
     #: (reference ``internal/get_band_size.h``).
     band_size_divisor: int = _env("DLAF_BAND_SIZE_DIVISOR", 2, int)
