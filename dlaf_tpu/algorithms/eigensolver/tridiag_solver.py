@@ -365,26 +365,36 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
     lam = jnp.zeros((n,), dt)
     Q = constrain(jnp.zeros((n, n), dt))
 
-    def leaf_block(i0, ls):
-        block = jnp.diag(dc[i0:i0 + ls])
-        if ls > 1:
-            eb = e[i0:i0 + ls - 1]
-            block = block + jnp.diag(eb, 1) + jnp.diag(eb, -1)
-        return block
-
     # batch equal-size leaves into one vmapped eigh (the reference solves
-    # leaves as independent stedc tasks; here one batched MXU/QR kernel)
+    # leaves as independent stedc tasks; here one batched MXU/QR kernel);
+    # placement is one fori_loop of dynamic-update slices per size bucket
+    # (unrolled per-leaf updates cost n/leaf_size compiled ops at scale)
     by_size = {}
     for (i0, i2) in leaves:
         by_size.setdefault(i2 - i0, []).append(i0)
     for ls, starts in by_size.items():
-        blocks = jnp.stack([leaf_block(i0, ls) for i0 in starts])
+        starts_arr = jnp.asarray(np.asarray(starts, np.int32))
+        if ls > 1:
+            idx = starts_arr[:, None] + jnp.arange(ls)[None, :]
+            dcb = jnp.take(dc, idx)                      # [B, ls]
+            eb = jnp.take(e, idx[:, :-1])                # [B, ls-1]
+            blocks = jax.vmap(
+                lambda d_, e_: jnp.diag(d_) + jnp.diag(e_, 1)
+                + jnp.diag(e_, -1))(dcb, eb)
+        else:
+            blocks = jnp.take(dc, starts_arr)[:, None, None]
         w, v = jnp.linalg.eigh(blocks)
-        for t, i0 in enumerate(starts):
-            lam = lam.at[i0:i0 + ls].set(w[t])
-            # dynamic_update_slice, not scatter: GSPMD mis-compiles .at[].set
-            # on sharded axes (see CLAUDE.md)
+
+        def place(t, st):
+            lam, Q = st
+            i0 = starts_arr[t]
+            lam = lax.dynamic_update_slice(lam, w[t], (i0,))
+            # dynamic_update_slice, not scatter: GSPMD mis-compiles
+            # .at[].set on sharded axes (see CLAUDE.md)
             Q = lax.dynamic_update_slice(Q, v[t], (i0, i0))
+            return lam, Q
+
+        lam, Q = lax.fori_loop(0, len(starts), place, (lam, Q))
     Q = constrain(Q)
 
     for (i0, i1, i2) in merges:
