@@ -397,19 +397,63 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
         lam, Q = lax.fori_loop(0, len(starts), place, (lam, Q))
     Q = constrain(Q)
 
+    # group merges by (size, split) — equal-shape merges are disjoint and
+    # can run as ONE vmapped (batched) merge; processing groups in
+    # increasing size is a valid topological order of the D&C tree.  This
+    # keeps the program at O(log n) merge bodies instead of O(n/leaf)
+    # (255 separate traces at n = 16384) and batches the small-merge MXU
+    # work.  Large merges (the memory-critical top of the tree) stay
+    # sequential so the q_sharding constraints apply to them.
+    groups = {}
     for (i0, i1, i2) in merges:
-        m = i2 - i0
-        Dm = lam[i0:i2]
-        Qm = constrain(lax.dynamic_slice(Q, (i0, i0), (m, m)))
-        em = e[i1 - 1]
+        groups.setdefault((i2 - i0, i1 - i0), []).append((i0, i1, i2))
+
+    batch_max_m = 4096
+    for key in sorted(groups, key=lambda k: k[0]):
+        m, m1 = key
+        group = groups[key]
+        if len(group) == 1 or m > batch_max_m:
+            for (i0, i1, i2) in group:
+                Dm = lam[i0:i2]
+                Qm = constrain(lax.dynamic_slice(Q, (i0, i0), (m, m)))
+                em = e[i1 - 1]
+                sgn = jnp.where(em < 0, -jnp.ones((), dt),
+                                jnp.ones((), dt))
+                rho = jnp.abs(em)
+                # z = [last row of Q1, sign * first row of Q2]
+                z = jnp.concatenate([Qm[i1 - 1 - i0, : i1 - i0],
+                                     sgn * Qm[i1 - i0, i1 - i0:]])
+                lam_m, Qn = _merge(Dm, Qm, z, rho, eps,
+                                   col_chunk=col_chunk,
+                                   constrain=constrain)
+                lam = lam.at[i0:i2].set(lam_m)
+                Q = constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
+            continue
+
+        starts = jnp.asarray(np.asarray([g[0] for g in group], np.int32))
+        eidx = jnp.asarray(np.asarray([g[1] - 1 for g in group], np.int32))
+        Dm = jax.vmap(
+            lambda s: lax.dynamic_slice(lam, (s,), (m,)))(starts)
+        Qm = jax.vmap(
+            lambda s: lax.dynamic_slice(Q, (s, s), (m, m)))(starts)
+        em = jnp.take(e, eidx)
         sgn = jnp.where(em < 0, -jnp.ones((), dt), jnp.ones((), dt))
         rho = jnp.abs(em)
-        # z = [last row of Q1, sign * first row of Q2]
-        z = jnp.concatenate([Qm[i1 - 1 - i0, : i1 - i0],
-                             sgn * Qm[i1 - i0, i1 - i0:]])
-        lam_m, Qn = _merge(Dm, Qm, z, rho, eps, col_chunk=col_chunk,
-                           constrain=constrain)
-        lam = lam.at[i0:i2].set(lam_m)
-        Q = constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
+        z = jnp.concatenate([Qm[:, m1 - 1, :m1],
+                             sgn[:, None] * Qm[:, m1, m1:]], axis=1)
+        lam_b, Qn_b = jax.vmap(
+            lambda D_, Q_, z_, r_: _merge(D_, Q_, z_, r_, eps,
+                                          col_chunk=col_chunk))(
+            Dm, Qm, z, rho)
+
+        def put(t, st, starts=starts, lam_b=lam_b, Qn_b=Qn_b):
+            lam, Q = st
+            s = starts[t]
+            lam = lax.dynamic_update_slice(lam, lam_b[t], (s,))
+            Q = lax.dynamic_update_slice(Q, Qn_b[t], (s, s))
+            return lam, Q
+
+        lam, Q = lax.fori_loop(0, len(group), put, (lam, Q))
+        Q = constrain(Q)
 
     return lam, Q
