@@ -13,10 +13,11 @@ arrays (partitioner-style distribution — XLA SPMD places the collectives):
     W   = Y - (1/2) L21 C11
     C22 = hegst(A22 - W L21^H - L21 W^H, L22)   (her2k on the triangle)
 
-Multiply count ~0.56 n^3 (reference hegst: n^3/2; round-1's two full
-triangular solves: n^3).  Only the lower triangle of the result is
-computed; itype 1 (the reference's only supported itype as well for the
-generalized eigensolver driver).
+Multiply count n^3/2 + O(n^2 base) — reference hegst parity (round-1's two
+full triangular solves were n^3; round-2's trtri-based trmms were 0.56 n^3;
+the recursive trsms have no trtri tax).  Only the lower triangle of the
+result is computed; itype 1 (the reference's only supported itype as well
+for the generalized eigensolver driver).
 """
 
 from __future__ import annotations
@@ -29,8 +30,8 @@ import jax.numpy as jnp
 from ...matrix.matrix import DistMatrix
 from ...ops import tile
 from ...tune import get_tune_parameters
-from ..factorization.recursive import (_half, rtrmm_left, rtrmm_right,
-                                       rtrtri_lower)
+from ..factorization.recursive import (_half, rtrsm_left_lower,
+                                       rtrsm_right_adj_lower)
 from ..internal import natural_exact, store_natural_exact
 
 
@@ -56,19 +57,20 @@ def rhegst_lower(a, l, base: int):
     m = a.shape[0]
     if m <= base:
         af = tile.hermitian_full(a, "L")
-        i11 = rtrtri_lower(l, base)
-        return tile.dot(i11, tile.dot(af, tile.adj(i11)))
+        w = jax.lax.linalg.triangular_solve(l, af, left_side=True,
+                                            lower=True)
+        return jax.lax.linalg.triangular_solve(l, w, left_side=False,
+                                               lower=True, transpose_a=True,
+                                               conjugate_a=True)
     h = _half(m)
     a11, a21, a22 = a[:h, :h], a[h:, :h], a[h:, h:]
     l11, l21, l22 = l[:h, :h], l[h:, :h], l[h:, h:]
 
     c11 = rhegst_lower(a11, l11, base)
     c11f = tile.hermitian_full(c11, "L")
-    i11 = rtrtri_lower(l11, base)
-    y = rtrmm_right(a21, tile.adj(i11), "U", base)
+    y = rtrsm_right_adj_lower(a21, l11, base)
     g = tile.dot(l21, c11f)
-    i22 = rtrtri_lower(l22, base)
-    c21 = rtrmm_left(i22, y - g, "L", base)
+    c21 = rtrsm_left_lower(l22, y - g, base)
     w = y - 0.5 * g
     inner = rher2k_lower(a22, w, l21, base)
     c22 = rhegst_lower(inner, l22, base)

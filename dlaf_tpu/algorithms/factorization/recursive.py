@@ -89,6 +89,33 @@ def rtrtri_lower(l, base: int):
     return jnp.concatenate([top, bot], axis=0)
 
 
+def rtrsm_left_lower(l, b, base: int):
+    """Solve ``L X = B`` (``L`` lower-triangular) by gemm-dominated
+    recursion; only ``base x base`` leaves hit the triangular_solve HLO.
+    Exactly ``m^2 ncols / 2`` multiplies — no trtri tax."""
+    m = l.shape[0]
+    if m <= base or b.shape[1] == 0:
+        return lax.linalg.triangular_solve(l, b, left_side=True, lower=True)
+    h = _half(m)
+    x1 = rtrsm_left_lower(l[:h, :h], b[:h], base)
+    x2 = rtrsm_left_lower(l[h:, h:],
+                          b[h:] - tile.dot(l[h:, :h], x1), base)
+    return jnp.concatenate([x1, x2], axis=0)
+
+
+def rtrsm_right_adj_lower(b, l, base: int):
+    """Solve ``X L^H = B`` (``L`` lower-triangular, so ``L^H`` upper)."""
+    m = l.shape[0]
+    if m <= base or b.shape[0] == 0:
+        return lax.linalg.triangular_solve(l, b, left_side=False, lower=True,
+                                           transpose_a=True, conjugate_a=True)
+    h = _half(m)
+    x1 = rtrsm_right_adj_lower(b[:, :h], l[:h, :h], base)
+    x2 = rtrsm_right_adj_lower(
+        b[:, h:] - tile.dot(x1, tile.adj(l[h:, :h])), l[h:, h:], base)
+    return jnp.concatenate([x1, x2], axis=1)
+
+
 def rherk_lower(c, x, base: int):
     """c - x x^H, updating only the lower triangle (upper left untouched)."""
     m = c.shape[0]

@@ -61,8 +61,20 @@ def test_hegst_flops():
     l = jnp.eye(N) + jnp.tril(jnp.ones((N, N))) * 0.01
     fl = _flops(lambda aa, ll: rhegst_lower(aa, ll, BASE), a, l)
     model = N ** 3                  # n^3/2 mul + n^3/2 add (reference)
-    # our recursion is ~0.56 n^3 multiplies -> <= ~1.25x the model
-    assert fl < 1.45 * model, (fl / model)
+    # recursive-trsm hegst is n^3/2 multiplies + O(n^2 base) leaves
+    assert fl < 1.2 * model, (fl / model)
+
+
+def test_trsm_flops():
+    from dlaf_tpu.algorithms.factorization.recursive import (
+        rtrsm_left_lower, rtrsm_right_adj_lower)
+    l = jnp.eye(N) + jnp.tril(jnp.ones((N, N))) * 0.01
+    b = jnp.ones((N, N))
+    model = N ** 3                  # m^2 ncols / 2 mul+add
+    fl = _flops(lambda ll, bb: rtrsm_left_lower(ll, bb, BASE), l, b)
+    assert fl < 1.2 * model, (fl / model)
+    fl = _flops(lambda bb, ll: rtrsm_right_adj_lower(bb, ll, BASE), b, l)
+    assert fl < 1.2 * model, (fl / model)
 
 
 def test_lauum_flops():
