@@ -50,8 +50,8 @@ def main():
     set_tune_parameters(matmul_precision="highest")
 
     def run_potrf(n, nb):
-        a = mu.random_hermitian_positive_definite(n, np.float32, seed=0)
-        mat = DistMatrix.from_natural(jnp.asarray(a, dtype), nb)
+        a = mu.random_hermitian_positive_definite_device(n, dtype, seed=0)
+        mat = DistMatrix.from_natural(a, nb)
         del a
         chol = jax.jit(
             lambda d: cholesky_factorization(mat.with_data(d)).data)
@@ -86,8 +86,8 @@ def main():
 
         from dlaf_tpu import hermitian_eigensolver
         nh = int(os.environ.get("DLAF_BENCH_HEEV_N", "8192"))
-        ah = mu.random_hermitian_positive_definite(nh, np.float32, seed=1)
-        mh = DistMatrix.from_natural(jnp.asarray(ah, dtype), 1024)
+        ah = mu.random_hermitian_device(nh, dtype, seed=1)
+        mh = DistMatrix.from_natural(ah, 1024)
         del ah
         lam, v = hermitian_eigensolver(mh, "L", band_size=128)  # warm
         jnp.asarray(lam).ravel()[0].item()

@@ -9,6 +9,8 @@ with :meth:`DistMatrix.from_natural` to distribute.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 from ..types import is_complex
@@ -51,6 +53,41 @@ def random_hermitian_positive_definite(n, dtype=np.float64, seed=0):
     h = random_hermitian(n, dtype, seed)
     a = h + 2.0 * n * np.eye(n, dtype=dtype)
     return a.astype(dtype)
+
+
+def random_hermitian_device(n, dtype=np.float32, seed=0):
+    """Device-side :func:`random_hermitian` (jax PRNG, jit): the array is
+    born on the accelerator — no O(n^2) host buffer and no host->device
+    transfer, which matters at the north-star sizes (4 GB at n = 32768
+    through the tunneled platform).  Same distribution family as the
+    reference recipe (uniform in the unit ball, Hermitized), different
+    stream than the numpy generators."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(1,), static_argnames=("dt",))
+    def gen(key, n, dt=None):
+        if is_complex(dt):
+            rdt = jnp.zeros(0, dt).real.dtype
+            kr, ki = jax.random.split(key)
+            x = (jax.random.uniform(kr, (n, n), rdt, -1.0, 1.0)
+                 + 1j * jax.random.uniform(ki, (n, n), rdt, -1.0, 1.0))
+            x = x.astype(dt)
+        else:
+            x = jax.random.uniform(key, (n, n), dt, -1.0, 1.0)
+        # (x + x^H)/2 has an exactly-real diagonal already
+        return (x + x.conj().T) / 2
+
+    return gen(jax.random.key(seed), n, dt=jnp.dtype(dtype))
+
+
+def random_hermitian_positive_definite_device(n, dtype=np.float32, seed=0):
+    """Device-side SPD generator: Hermitian + 2n I (eigenvalues in
+    [2n-1, 2n+1], the reference conditioning)."""
+    import jax.numpy as jnp
+    h = random_hermitian_device(n, dtype, seed)
+    ii = jnp.arange(n)
+    return h.at[ii, ii].add(jnp.asarray(2.0 * n, h.dtype).real)
 
 
 def random_lower_triangular(n, dtype=np.float64, seed=0):

@@ -23,11 +23,11 @@ def main():
     n, nb, band = 32768, 2048, 128
     set_tune_parameters(trace_eigensolver_stages=True, bt_group_size=128)
 
-    print(f"building input n={n}", flush=True)
-    a = mu.random_hermitian(n, np.float32, seed=11)
-    mat = DistMatrix.from_natural(jnp.asarray(a), (nb, nb), None)
+    print(f"building input n={n} (device-side)", flush=True)
+    a = mu.random_hermitian_device(n, np.float32, seed=11)
     # keep only a thin host slice for the residual spot check
     probe_rows = np.asarray(a[:64])
+    mat = DistMatrix.from_natural(a, (nb, nb), None)
     del a
 
     t0 = time.time()

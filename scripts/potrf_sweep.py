@@ -24,9 +24,7 @@ def main():
     from dlaf_tpu.utils.timing import slope_time
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    a = mu.random_hermitian_positive_definite(n, np.float32, seed=0)
-    ad = jnp.asarray(a)
-    del a
+    ad = mu.random_hermitian_positive_definite_device(n, jnp.float32, seed=0)
     flops = total_ops(np.float32, n ** 3 / 6, n ** 3 / 6)
 
     configs = [(4096, 256), (2048, 256), (2048, 512), (8192, 256),

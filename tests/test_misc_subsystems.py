@@ -43,3 +43,19 @@ def test_communication_miniapp(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "GB/s" in out and "all-reduce" in out
+
+
+def test_device_side_generators():
+    """Device-born generators (no host buffer): Hermitian, safely SPD."""
+    import numpy as np
+
+    from dlaf_tpu.matrix import util as mu
+
+    for dt in (np.float32, np.complex64):
+        h = np.asarray(mu.random_hermitian_device(129, dt, seed=3))
+        assert np.allclose(h, h.conj().T)
+        assert np.all(np.isreal(np.diag(h)))
+        a = np.asarray(
+            mu.random_hermitian_positive_definite_device(129, dt, seed=3))
+        w = np.linalg.eigvalsh(a)
+        assert w.min() > 129          # centered at 2n, radius ~sqrt(n)
