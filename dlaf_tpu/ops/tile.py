@@ -41,8 +41,29 @@ def op(trans: str, x):
     raise ValueError(f"invalid op {trans!r}")
 
 
+def _use_split6(a, b) -> bool:
+    if a.dtype != jnp.float32 or b.dtype != jnp.float32:
+        return False
+    if a.ndim != 2 or b.ndim != 2:
+        return False
+    p = get_tune_parameters()
+    if p.matmul_precision != "highest" or p.f32_split_matmul == "off":
+        return False
+    if p.f32_split_matmul == "on":
+        return True
+    import jax
+    return jax.default_backend() != "cpu"   # auto: MXU-backed platforms
+
+
 def dot(a, b):
-    """MXU matmul at the tuned precision (f32 default: HIGHEST)."""
+    """MXU matmul at the tuned precision (f32 default: HIGHEST).
+
+    f32 'highest' takes the split-bf16 path (:mod:`..ops.splitmm`) on TPU
+    backends — same 6-product term set, native MXU rate at every depth.
+    """
+    if _use_split6(a, b):
+        from .splitmm import dot_f32x6
+        return dot_f32x6(a, b)
     return jnp.matmul(a, b, precision=_precision())
 
 
