@@ -123,7 +123,14 @@ def hermitian_eigensolver(
     mark("extract_band")
     use_hh = tp.band_to_tridiag_algo != "givens"
     if use_hh:
-        res = hh_band_to_tridiagonal(ab, band)
+        import jax
+        if jax.process_count() > 1:
+            # rank-pipelined chase: each process chases only its owned
+            # column regions (reference SweepWorkerDist, mc.h:569)
+            from .hh_chase_mp import hh_band_to_tridiagonal_mp
+            res = hh_band_to_tridiagonal_mp(ab, band)
+        else:
+            res = hh_band_to_tridiagonal(ab, band)
     else:
         res = band_to_tridiagonal(ab, band)
     mark("band_to_tridiag (host chase)")

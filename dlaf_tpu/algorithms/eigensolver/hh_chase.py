@@ -215,9 +215,18 @@ def _hh_chase_native(ab2: np.ndarray, n: int, b: int):
     return V
 
 
-def hh_band_to_tridiagonal(ab: np.ndarray, band: int) -> HHChaseResult:
+def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
+                           force_numpy: bool = False) -> HHChaseResult:
     """Reduce lower-banded storage ``ab[(band+1), n]`` to real tridiagonal
-    via Householder bulge chasing."""
+    via Householder bulge chasing.
+
+    ``force_numpy`` skips the C++ kernel.  The native and numpy chases
+    differ in rounding order; the low-order-bit differences *amplify*
+    through successive reflectors (observed ~1e-3 by n=300), so exact
+    trajectory comparisons (e.g. the distributed-protocol tests) must
+    pin one arithmetic.  Both results are valid reductions — eigenvalues
+    agree to ~1e-13 regardless.
+    """
     bp1, n = ab.shape
     if bp1 != band + 1:
         raise ValueError(f"ab rows {bp1} != band+1 {band + 1}")
@@ -226,7 +235,7 @@ def hh_band_to_tridiagonal(ab: np.ndarray, band: int) -> HHChaseResult:
     ab2 = np.zeros((2 * band + 1, n), dtype)
     ab2[: band + 1] = ab
     if n > 2 and band > 1:
-        V = _hh_chase_native(ab2, n, band)
+        V = None if force_numpy else _hh_chase_native(ab2, n, band)
         if V is None:
             V = hh_chase_numpy(ab2, n, band)
     else:

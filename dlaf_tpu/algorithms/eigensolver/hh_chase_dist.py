@@ -43,14 +43,21 @@ import numpy as np
 from .hh_chase import HHChaseResult, _larfg, hh_schedule
 
 
-def balanced_boundaries(n: int, b: int, nparts: int) -> np.ndarray:
+def balanced_boundaries(n: int, b: int, nparts: int,
+                        min_width: int | None = None) -> np.ndarray:
     """Region cuts ``0 = c_0 < ... < c_P = n`` (multiples of ``b``)
-    equalizing window work ``W(c) ~ c^2/2`` per region."""
+    equalizing window work ``W(c) ~ c^2/2`` per region.  Every region is
+    at least ``min_width`` (default ``b``) columns wide — the lock-step
+    multi-process driver needs ``2*b`` (see :mod:`.hh_chase_mp`)."""
+    if min_width is None:
+        min_width = b
     cuts = [0]
     for r in range(1, nparts):
         c = int(round(n * np.sqrt(r / nparts) / b)) * b
-        c = max(c, cuts[-1] + b)          # keep regions non-empty
-        cuts.append(min(c, n))
+        c = max(c, cuts[-1] + min_width)
+        if c > n - min_width:
+            break
+        cuts.append(c)
     cuts.append(n)
     return np.unique(np.asarray(cuts, np.int64))
 
@@ -144,6 +151,7 @@ class Region:
                     exits[s] = (v, tau, t)
                     break
                 l = min(b, n - j)
+                v = v[:l]       # entry states may arrive b-padded (MP)
                 r = off[s] + t
                 V[r - self.v0, 0] = tau
                 V[r - self.v0, 1:l] = v[1:l]

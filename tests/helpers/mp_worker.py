@@ -40,6 +40,22 @@ def main() -> int:
     assert resid < 1e-4, f"cholesky resid {resid}"
     print(f"[{pid}] cholesky ok {resid:.2e}", flush=True)
 
+    # ---- rank-pipelined band->tridiag chase over the real transport ----
+    from dlaf_tpu.algorithms.eigensolver.hh_chase import \
+        hh_band_to_tridiagonal
+    from dlaf_tpu.algorithms.eigensolver.hh_chase_mp import \
+        hh_band_to_tridiagonal_mp
+    nb_, b_ = 96, 8
+    rng = np.random.default_rng(13)
+    # float32: x64 is disabled, so the allgather transport is f32-exact
+    band_ab = rng.standard_normal((b_ + 1, nb_)).astype(np.float32)
+    ref = hh_band_to_tridiagonal(band_ab.copy(), b_, force_numpy=True)
+    out = hh_band_to_tridiagonal_mp(band_ab.copy(), b_, nparts=4)
+    np.testing.assert_allclose(out.d, ref.d, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(out.e, ref.e, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(out.V, ref.V, rtol=0, atol=1e-12)
+    print(f"[{pid}] mp chase ok", flush=True)
+
     # ---- full HEEV chain ----
     rng = np.random.default_rng(7)
     h = rng.standard_normal((n, n)).astype(np.float32)

@@ -54,4 +54,5 @@ def test_two_process_cholesky_and_heev():
     for rc, out, err in outs:
         assert rc == 0, (rc, out, err[-2000:])
         assert "cholesky ok" in out
+        assert "mp chase ok" in out
         assert "heev ok" in out
