@@ -184,10 +184,13 @@ def lpotrf_lower(a, panel: int | None = None, base: int | None = None):
     recursion inside each panel strip (:func:`_factor_strip`): ~n^3/6
     multiplies total; small-base XLA cholesky + explicit trtri/trmm leaves.
 
-    The factor accumulates into one carried buffer via dynamic-update
-    slices (no per-panel ``concatenate`` of all previous columns): XLA
-    aliases the dead carry in place, so peak memory is ~2 n^2 values
-    (input + factor) — what lets n = 32768 fit on a single chip.
+    The factor accumulates *in place* over the input carry via
+    dynamic-update slices: the not-yet-factored trailing region still
+    holds the input values (left-looking never re-reads updated columns),
+    so XLA aliases the dead carry and peak memory is ~1 n^2 values plus
+    panel-sized temps — what lets n = 32768 fit on a single chip.  The
+    strict upper triangle of the result holds the *input's* values
+    (LAPACK garbage contract; every consumer re-trils).
     """
     p = get_tune_parameters()
     if base is None:
@@ -200,10 +203,10 @@ def lpotrf_lower(a, panel: int | None = None, base: int | None = None):
     if n <= panel:
         return _factor_strip(a, base)
 
-    L = jnp.zeros_like(a)
+    L = a
     for k in range(0, n, panel):
         w = min(panel, n - k)
-        strip = lax.dynamic_slice(a, (k, k), (n - k, w))
+        strip = lax.dynamic_slice(L, (k, k), (n - k, w))
         if k:
             left = lax.dynamic_slice(L, (k, 0), (n - k, k))   # L[k:, :k]
             strip = strip - tile.dot(left, tile.adj(left[:w]))

@@ -44,6 +44,10 @@ def natural_exact(mat: DistMatrix):
 def store_natural_exact(mat: DistMatrix, nat) -> DistMatrix:
     """Store an exactly ``mat.size`` natural array (zero-padded)."""
     Mp, Np = mat.dist.padded_size
+    if tuple(nat.shape) == (Mp, Np):
+        # no padding: skip the zero buffer + copy (a full extra n^2
+        # allocation — the difference between fitting and OOM at n=32768)
+        return store_natural(mat, nat)
     padded = jnp.zeros((Mp, Np), dtype=nat.dtype)
     padded = jax.lax.dynamic_update_slice(padded, nat, (0, 0))
     return store_natural(mat, padded)

@@ -10,6 +10,9 @@ Prints GF/s (2 m n k flop model) + max rel error vs a float64 host
 reference on a 512^3 probe.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

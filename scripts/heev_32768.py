@@ -7,9 +7,13 @@ stages hold mat_hh + E (~8.6 GB) + the 2.1 GB reflector stream.
 Run from the repo root on the default (TPU) environment.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

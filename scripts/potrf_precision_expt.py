@@ -4,6 +4,9 @@ high = bf16x6 ~63 TF on this chip).  If the factorization residual at
 "high" matches "highest", the cheaper arithmetic is the honest default.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -8,6 +8,9 @@ smaller panel raises the blended ceiling as long as compile/overhead do
 not bite.  Prints GFlop/s per config.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 
