@@ -47,19 +47,19 @@ def _use_split6(a, b) -> bool:
     if a.ndim != 2 or b.ndim != 2:
         return False
     p = get_tune_parameters()
-    if p.matmul_precision != "highest" or p.f32_split_matmul == "off":
+    if p.matmul_precision != "highest":
         return False
-    if p.f32_split_matmul == "on":
-        return True
-    import jax
-    return jax.default_backend() != "cpu"   # auto: MXU-backed platforms
+    # measured end-to-end regression on v5e POTRF (see tune.py): explicit
+    # splitting is opt-in only
+    return p.f32_split_matmul == "on"
 
 
 def dot(a, b):
     """MXU matmul at the tuned precision (f32 default: HIGHEST).
 
-    f32 'highest' takes the split-bf16 path (:mod:`..ops.splitmm`) on TPU
-    backends — same 6-product term set, native MXU rate at every depth.
+    With ``f32_split_matmul="on"``, f32 'highest' takes the explicit
+    split-bf16 path (:mod:`..ops.splitmm`) — same 6-product term set;
+    opt-in only (see tune.py for the measured end-to-end tradeoff).
     """
     if _use_split6(a, b):
         from .splitmm import dot_f32x6

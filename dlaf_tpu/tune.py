@@ -30,10 +30,13 @@ class TuneParameters:
     #: speed.  (Reference has no analogue: cuBLAS is always full precision.)
     matmul_precision: str = _env("DLAF_MATMUL_PRECISION", "highest", str)
     #: f32 'highest' matmuls via explicit 3-way bf16 split (6 native MXU
-    #: products, ops/splitmm.py): "auto" enables it on TPU-like backends
-    #: where the XLA f32 emulation loses ~2x at mid contraction depths;
-    #: "on"/"off" force.  Same term set as XLA's BF16_BF16_F32_X6.
-    f32_split_matmul: str = _env("DLAF_F32_SPLIT_MATMUL", "auto", str)
+    #: products, ops/splitmm.py): "on" forces it, "off"/"auto" disable.
+    #: Measured (v5e, n=16384 POTRF end-to-end): the blanket split path
+    #: REGRESSES the factorization 19.2 -> 15.7 TF despite winning some
+    #: isolated deep-gemm microbenches — the materialized bf16 splits and
+    #: f32 accumulator chain add HBM traffic that XLA's fused emulation
+    #: avoids.  Kept as an opt-in for shape experiments.
+    f32_split_matmul: str = _env("DLAF_F32_SPLIT_MATMUL", "off", str)
     #: recursion depth for triangle-aware trailing updates (herk/her2k):
     #: depth d wastes <= 2^-d of the rectangle flops on the masked diagonal
     #: band.  0 = plain full-rectangle update.

@@ -30,8 +30,11 @@ def main():
     ad = mu.random_hermitian_positive_definite_device(n, jnp.float32, seed=0)
     flops = total_ops(np.float32, n ** 3 / 6, n ** 3 / 6)
 
-    configs = [(4096, 256), (2048, 256), (2048, 512), (8192, 256),
-               (4096, 512)]
+    if len(sys.argv) > 2:       # explicit "panel:base" configs
+        configs = [tuple(int(v) for v in c.split(":")) for c in sys.argv[2:]]
+    else:
+        configs = [(4096, 256), (2048, 256), (2048, 512), (8192, 256),
+                   (4096, 512)]
     for panel, base in configs:
         fn = jax.jit(lambda x, p=panel, b=base: lpotrf_lower(x, p, b))
         t0 = time.time()
