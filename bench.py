@@ -58,17 +58,21 @@ def main():
         t = _slope_time(chol, mat.data, k_hi=3)
         return total_ops(dtype, n ** 3 / 6, n ** 3 / 6) / t / 1e9
 
-    # largest single-chip size the tunneled v5e handles; fall back a size
-    # if the shared worker is mid-recovery so the round always records
-    n, nb = 16384, 2048
-    try:
-        gflops = run_potrf(n, nb)
-    except Exception as exc:                       # noqa: BLE001
-        import sys
-        print(f"n=16384 failed ({type(exc).__name__}); retrying n=8192",
-              file=sys.stderr)
-        n, nb = 8192, 2048
-        gflops = run_potrf(n, nb)
+    # north-star size first (fits since the in-place carry landed:
+    # 25.1 TF measured); fall back a size if the shared worker is
+    # mid-recovery so the round always records
+    import sys
+    gflops = None
+    for n in (32768, 16384, 8192):
+        nb = 2048
+        try:
+            gflops = run_potrf(n, nb)
+            break
+        except Exception as exc:                   # noqa: BLE001
+            print(f"n={n} failed ({type(exc).__name__}); falling back",
+                  file=sys.stderr)
+    if gflops is None:
+        raise SystemExit("all POTRF sizes failed")
 
     # matmul roofline at the same dtype/precision
     x = jnp.asarray(mu.random(4096, 4096, np.float32, 1), dtype)
