@@ -61,16 +61,23 @@ def main():
     # north-star size first (fits since the in-place carry landed:
     # 25.1 TF measured); fall back a size if the shared worker is
     # mid-recovery so the round always records
+    import gc
     import sys
     gflops = None
-    for n in (32768, 16384, 8192):
-        nb = 2048
+    # the tunneled worker is shared: RESOURCE_EXHAUSTED can be another
+    # tenant's transient HBM footprint, so retry before shrinking
+    for n, nb in ((32768, 2048), (32768, 2048), (32768, 2048),
+                  (16384, 2048), (16384, 2048), (8192, 2048),
+                  (8192, 2048)):
         try:
             gflops = run_potrf(n, nb)
             break
         except Exception as exc:                   # noqa: BLE001
-            print(f"n={n} failed ({type(exc).__name__}); falling back",
+            msg = str(exc).splitlines()[0][:300] if str(exc) else ""
+            print(f"n={n} failed ({type(exc).__name__}: {msg}); retrying",
                   file=sys.stderr)
+            gc.collect()
+            time.sleep(90)
     if gflops is None:
         raise SystemExit("all POTRF sizes failed")
 

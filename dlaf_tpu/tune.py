@@ -43,9 +43,13 @@ class TuneParameters:
     herk_split_depth: int = _env("DLAF_HERK_SPLIT_DEPTH", 2, int)
     #: base block size of the recursive single-device POTRF/TRTRI fast path
     #: (below this, the XLA cholesky/triangular_solve HLOs take over).
-    potrf_base_size: int = _env("DLAF_POTRF_BASE_SIZE", 256, int)
-    #: panel width of the left-looking single-device POTRF
-    potrf_panel_size: int = _env("DLAF_POTRF_PANEL_SIZE", 4096, int)
+    potrf_base_size: int = _env("DLAF_POTRF_BASE_SIZE", 128, int)
+    #: panel width of the left-looking single-device POTRF.  Measured on
+    #: v5e (n=32768 sweep, scripts/potrf_sweep.py): narrow panels win big —
+    #: the left-looking update gemm [n-k, k] x [k, panel] runs ~45 TF at
+    #: deep k vs ~31 TF for square shapes, and panel=512 puts ~98% of the
+    #: flops there (512/128: 28.8 TF k_hi=9; old 4096/256: 25.1 TF).
+    potrf_panel_size: int = _env("DLAF_POTRF_PANEL_SIZE", 512, int)
     #: distributed POTRF schedule: "kloop" (shard_map driver with explicit
     #: panel collectives) or "partitioner" (natural-order recursion, XLA
     #: SPMD places the collectives)
