@@ -84,27 +84,34 @@ def _bt_hh_scan(E, stream, widx, r0, b: int, g: int, e_sharding=None):
         # scan runs collective-free on column shards
         E = lax.with_sharding_constraint(E, e_sharding)
 
-    # static placement tables: Vwin[i, c] = vrow[c, i - c] (slot 0 = the
-    # implied 1), zero outside [c, c+b)
-    ii = np.arange(hw)[:, None]
-    cc = np.arange(g)[None, :]
-    src = ii - cc
-    valid = (src >= 0) & (src < b)
-    src_tab = jnp.asarray(np.where(valid, src, 0))
-    valid_tab = jnp.asarray(valid)
+    def skew_right(P):
+        """Row ``c`` of ``P [g, hw]`` shifted right by ``c`` (zero fill) —
+        pure pad+reshape (the flattened-stride trick), no gather op."""
+        Xp = jnp.concatenate([P, jnp.zeros((g, g), P.dtype)], axis=1)
+        Y = Xp.reshape(-1)[: g * (hw + g - 1)].reshape(g, hw + g - 1)
+        return Y[:, :hw]
+
+    # pre-gather the stream into window order: ONE vectorized gather here
+    # instead of a gather op per scan step (per-step gathers execute at
+    # ~0.4 ms each on the v5e — the same pathology as the D&C rotation
+    # scan); scan xs slices are dynamic-slices, the fast path.  Memory is
+    # ~the stream itself (every reflector lands in exactly one window).
+    streamw = jnp.take(stream, jnp.maximum(widx, 0).reshape(-1),
+                       axis=0).reshape(widx.shape[0], g, b)
 
     def body(E, xs):
-        w_idx, row0 = xs
-        vrows = jnp.take(stream, jnp.maximum(w_idx, 0), axis=0)   # [g, b]
+        vrows, w_idx, row0 = xs                            # vrows: [g, b]
         # absent or tau==0 reflectors contribute identity: zero the whole
         # column (t_factor's tau-safe trick requires all-zero columns)
         keep = (w_idx >= 0) & (vrows[:, 0] != 0)           # [g]
         taus = jnp.where(keep, vrows[:, 0], jnp.zeros((), dtype))
         vrows = vrows.at[:, 0].set(jnp.ones((), dtype))    # implied v[0]=1
         vrows = jnp.where(keep[:, None], vrows, jnp.zeros((), dtype))
-        # well-formed trapezoid V [hw, g]
-        V = jnp.where(valid_tab, vrows.T[src_tab, jnp.arange(g)[None, :]],
-                      jnp.zeros((), dtype))
+        # well-formed trapezoid V [hw, g]: column c = sweep s0+c's
+        # reflector at row offset c (P's zero tail covers i - c >= b)
+        P = jnp.concatenate(
+            [vrows, jnp.zeros((g, hw - b), dtype)], axis=1)
+        V = skew_right(P).T
         # forward compact-WY T: T^{-1} = diag(1/tau) + triu(V^H V, 1)
         tau_safe = jnp.where(taus == 0, jnp.ones_like(taus), taus)
         vhv = tile.dot(tile.adj(V), V)
@@ -118,7 +125,7 @@ def _bt_hh_scan(E, stream, widx, r0, b: int, g: int, e_sharding=None):
         E = lax.dynamic_update_slice(E, Ew, (row0, zero))
         return E, None
 
-    E, _ = lax.scan(body, E, (widx, r0))
+    E, _ = lax.scan(body, E, (streamw, widx, r0))
     return E
 
 
