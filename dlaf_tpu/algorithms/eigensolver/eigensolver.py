@@ -130,7 +130,10 @@ def hermitian_eigensolver(
             from .hh_chase_mp import hh_band_to_tridiagonal_mp
             res = hh_band_to_tridiagonal_mp(ab, band)
         else:
-            res = hh_band_to_tridiagonal(ab, band)
+            # stream the reflector upload during the chase: on the
+            # tunneled TPU the ~n^2/2-value host->device copy costs more
+            # than the chase; overlapping hides it behind chase + D&C
+            res = hh_band_to_tridiagonal(ab, band, device_stream=True)
     else:
         res = band_to_tridiagonal(ab, band)
     mark("band_to_tridiag (host chase)")

@@ -185,8 +185,16 @@ def hh_chase_numpy(ab2: np.ndarray, n: int, b: int) -> np.ndarray:
     return V
 
 
-def _hh_chase_native(ab2: np.ndarray, n: int, b: int):
-    """Dispatch to the C++ kernel; None -> numpy fallback."""
+def _hh_chase_native(ab2: np.ndarray, n: int, b: int, chunk_cb=None):
+    """Dispatch to the C++ kernel; None -> numpy fallback.
+
+    ``chunk_cb(rows)``: optional — called from this thread with
+    consecutive finished slices ``V[r0:r1]`` *while the chase still
+    runs* (the ``_p`` kernel publishes a completed-row prefix), so the
+    caller can overlap the host->device upload of the reflector stream
+    with the remaining host compute.  The slices are final: the kernel
+    release-stores the prefix after the rows are written.
+    """
     import ctypes
 
     from ...ops.native import get_lib
@@ -200,23 +208,62 @@ def _hh_chase_native(ab2: np.ndarray, n: int, b: int):
     name = names.get(ab2.dtype)
     if name is None or not hasattr(lib, name):
         return None
+    use_stream = (chunk_cb is not None and
+                  hasattr(lib, name + "_p"))
     off, R = hh_schedule(n, b)
     V = np.zeros((R, b), ab2.dtype)
     # column-major banded storage for unit-stride column access in C++
     abf = np.asfortranarray(ab2)
-    fn = getattr(lib, name)
-    fn.restype = ctypes.c_int
-    rc = fn(abf.ctypes.data_as(ctypes.c_void_p),
-            ctypes.c_int64(n), ctypes.c_int64(b),
-            V.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(R))
-    if rc != 0:
-        return None
+    if use_stream:
+        import threading
+        import time as _time
+        fn = getattr(lib, name + "_p")
+        fn.restype = ctypes.c_int
+        done = np.zeros(1, np.int64)
+        rc_box = [None]
+
+        def call():
+            rc_box[0] = fn(abf.ctypes.data_as(ctypes.c_void_p),
+                           ctypes.c_int64(n), ctypes.c_int64(b),
+                           V.ctypes.data_as(ctypes.c_void_p),
+                           ctypes.c_int64(R),
+                           done.ctypes.data_as(ctypes.c_void_p))
+
+        th = threading.Thread(target=call)
+        th.start()
+        # ~32 MB chunks: big enough to amortize dispatch, small enough
+        # that the wire stays busy from early in the chase
+        chunk = max(1, (32 << 20) // max(V.strides[0], 1))
+        sent = 0
+        while True:
+            alive = th.is_alive()
+            avail = int(done[0])
+            if avail - sent >= chunk or (not alive and avail > sent):
+                chunk_cb(V[sent:avail])
+                sent = avail
+            if not alive:
+                break
+            _time.sleep(0.01)
+        th.join()
+        if rc_box[0] != 0:
+            return None
+        if sent < R:
+            chunk_cb(V[sent:R])
+    else:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+        rc = fn(abf.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(n), ctypes.c_int64(b),
+                V.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(R))
+        if rc != 0:
+            return None
     ab2[...] = abf
     return V
 
 
 def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
-                           force_numpy: bool = False) -> HHChaseResult:
+                           force_numpy: bool = False,
+                           device_stream: bool = False) -> HHChaseResult:
     """Reduce lower-banded storage ``ab[(band+1), n]`` to real tridiagonal
     via Householder bulge chasing.
 
@@ -226,18 +273,44 @@ def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
     trajectory comparisons (e.g. the distributed-protocol tests) must
     pin one arithmetic.  Both results are valid reductions — eigenvalues
     agree to ~1e-13 regardless.
+
+    ``device_stream=True`` returns ``V`` as a *device* array, uploaded in
+    chunks while the chase still runs: on the tunneled TPU the
+    host->device copy of the reflector stream (~n^2/2 values) costs more
+    wall time than the chase itself, so overlapping the two (plus the
+    async dispatch continuing through the following D&C stage) hides
+    most of it.  Complex dtypes stay on host (the axon plugin cannot
+    device_put complex64).
     """
     bp1, n = ab.shape
     if bp1 != band + 1:
         raise ValueError(f"ab rows {bp1} != band+1 {band + 1}")
     dtype = ab.dtype
 
+    stream_ok = device_stream and not np.iscomplexobj(ab)
+    chunks: list = []
+    cb = None
+    if stream_ok:
+        import jax
+
+        def cb(rows):
+            chunks.append(jax.device_put(rows))
+
     ab2 = np.zeros((2 * band + 1, n), dtype)
     ab2[: band + 1] = ab
     if n > 2 and band > 1:
-        V = None if force_numpy else _hh_chase_native(ab2, n, band)
+        V = None if force_numpy else _hh_chase_native(ab2, n, band,
+                                                      chunk_cb=cb)
         if V is None:
+            chunks.clear()              # discard any partial upload
             V = hh_chase_numpy(ab2, n, band)
+        elif chunks:
+            import jax.numpy as jnp
+            V = (jnp.concatenate(chunks, axis=0)
+                 if len(chunks) > 1 else chunks[0])
+        elif stream_ok:
+            import jax
+            V = jax.device_put(V)       # small streams: one async put
     else:
         _, R = hh_schedule(n, band)
         V = np.zeros((R, band), dtype)

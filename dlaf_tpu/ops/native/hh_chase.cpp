@@ -185,8 +185,12 @@ void run_sweep(T* ab, int64_t ld, int64_t n, int64_t b, int64_t s,
 }
 
 template <typename T>
-int hh_chase(T* ab, int64_t n, int64_t b, T* V, int64_t R) {
-  if (n < 3 || b < 2) return 0;
+int hh_chase(T* ab, int64_t n, int64_t b, T* V, int64_t R,
+             int64_t* done_rows = nullptr) {
+  if (n < 3 || b < 2) {
+    if (done_rows) __atomic_store_n(done_rows, R, __ATOMIC_RELEASE);
+    return 0;
+  }
   const int64_t ld = 2 * b + 1;
   const int64_t nsweeps = n - 2;
 
@@ -206,11 +210,30 @@ int hh_chase(T* ab, int64_t n, int64_t b, T* V, int64_t R) {
   std::vector<std::atomic<int32_t>> progress(nsweeps);
   for (auto& p : progress) p.store(0, std::memory_order_relaxed);
 
+  // done_rows (optional, written with release semantics): V rows
+  // [0, done_rows) are final — lets the caller overlap the host->device
+  // upload of the reflector stream with the rest of the chase
+  std::atomic<int64_t> done_sweeps{0};
+  auto publish = [&]() {
+    if (!done_rows) return;
+    int64_t ds = done_sweeps.load(std::memory_order_acquire);
+    while (ds < nsweeps &&
+           progress[ds].load(std::memory_order_acquire) == INT32_MAX) {
+      if (done_sweeps.compare_exchange_weak(ds, ds + 1,
+                                            std::memory_order_acq_rel)) {
+        __atomic_store_n(done_rows, off[ds + 1], __ATOMIC_RELEASE);
+        ++ds;
+      }
+    }
+  };
+
   if (nthreads <= 1) {
     std::vector<T> v(b), w(2 * b);
-    for (int64_t s = 0; s < nsweeps; ++s)
+    for (int64_t s = 0; s < nsweeps; ++s) {
       run_sweep(ab, ld, n, b, s, V, off.data(), v.data(), w.data(),
                 progress.data());
+      publish();
+    }
     return 0;
   }
 
@@ -222,12 +245,14 @@ int hh_chase(T* ab, int64_t n, int64_t b, T* V, int64_t R) {
       if (s >= nsweeps) break;
       run_sweep(ab, ld, n, b, s, V, off.data(), v.data(), w.data(),
                 progress.data());
+      publish();
     }
   };
   std::vector<std::thread> threads;
   threads.reserve(static_cast<size_t>(nthreads));
   for (int64_t i = 0; i < nthreads; ++i) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
+  if (done_rows) __atomic_store_n(done_rows, R, __ATOMIC_RELEASE);
   return 0;
 }
 
@@ -240,6 +265,16 @@ int dlaf_hh_chase_s(float* ab, int64_t n, int64_t b, float* V, int64_t R) {
 }
 int dlaf_hh_chase_d(double* ab, int64_t n, int64_t b, double* V, int64_t R) {
   return hh_chase(ab, n, b, V, R);
+}
+// _p variants publish completed V-row prefix into *done_rows (release
+// stores; the poller reads it with a plain aligned int64 load)
+int dlaf_hh_chase_s_p(float* ab, int64_t n, int64_t b, float* V, int64_t R,
+                      int64_t* done_rows) {
+  return hh_chase(ab, n, b, V, R, done_rows);
+}
+int dlaf_hh_chase_d_p(double* ab, int64_t n, int64_t b, double* V,
+                      int64_t R, int64_t* done_rows) {
+  return hh_chase(ab, n, b, V, R, done_rows);
 }
 int dlaf_hh_chase_c(void* ab, int64_t n, int64_t b, void* V, int64_t R) {
   return hh_chase(reinterpret_cast<std::complex<float>*>(ab), n, b,

@@ -147,3 +147,15 @@ def test_eigensolver_hh_path(dtype):
     assert resid < tol
     assert np.abs(np.sort(lam) - np.linalg.eigvalsh(A)).max() < \
         np.abs(lam).max() * tol * 10 + tol
+
+
+@pytest.mark.parametrize("n,b", [(300, 8), (64, 8)])
+def test_device_stream_matches_host(n, b):
+    """The chunk-streamed chase (native _p kernel + overlapped device_put)
+    must produce the identical reflector stream and tridiagonal."""
+    _, ab = band_full(n, b, np.float32, seed=3)
+    ref = hh_band_to_tridiagonal(ab.copy(), b)
+    res = hh_band_to_tridiagonal(ab.copy(), b, device_stream=True)
+    assert np.array_equal(np.asarray(res.V), np.asarray(ref.V))
+    assert np.array_equal(res.d, ref.d)
+    assert np.array_equal(res.e, ref.e)
