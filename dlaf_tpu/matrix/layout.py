@@ -26,6 +26,8 @@ def pad_natural(a, dist: Distribution, fill=0.0, diag_fill=None):
     Mp, Np = dist.padded_size
     if a.shape != (m, n):
         raise ValueError(f"array shape {a.shape} != distribution size {(m, n)}")
+    if (Mp, Np) == (m, n):
+        return jnp.asarray(a)    # no pad: avoid an extra n^2 copy
     out = jnp.zeros((Mp, Np), dtype=a.dtype)
     if fill != 0.0:
         out = out + jnp.asarray(fill, a.dtype)
@@ -57,6 +59,9 @@ def natural_to_storage(a_padded, dist: Distribution):
     sp, sq = dist.src_rank
     lmt, lnt = dist.local_nr_tiles
     Mp, Np = dist.padded_size
+    if P == 1 and Q == 1:
+        return a_padded          # identity permutation: avoid the eager
+        # reshape/transpose round-trip (2 extra n^2 buffers at n=32768)
     x = a_padded.reshape(lmt, P, mb, lnt, Q, nb)
     if sp:
         x = jnp.roll(x, sp, axis=1)
@@ -72,6 +77,8 @@ def storage_to_natural(s, dist: Distribution):
     sp, sq = dist.src_rank
     lmt, lnt = dist.local_nr_tiles
     Mp, Np = dist.padded_size
+    if P == 1 and Q == 1:
+        return s                 # identity permutation (see above)
     x = s.reshape(P, lmt, mb, Q, lnt, nb)
     x = x.transpose(1, 0, 2, 4, 3, 5)
     if sp:
