@@ -114,10 +114,9 @@ def hermitian_eigensolver(
             print(f"  [stage] {name}: {dt:.2f}s", flush=True)
 
     adtype, ablock, agrid = a.dtype, a.block_size, a.grid
-    mat_hh, taus = reduction_to_band(a, band)
+    mat_hh, taus = reduction_to_band(a, band, donate=donate_input)
     if donate_input:
-        a = None          # drop our reference; frees once the caller's is
-        # gone and the reduction has consumed the buffer
+        a = None          # buffer donated into the reduction jit
     mark("reduction_to_band", mat_hh.data)
     ab = np.asarray(extract_band(mat_hh, band))
     mark("extract_band")

@@ -184,10 +184,9 @@ def t_factor(V, taus):
     return lax.linalg.triangular_solve(tinv, eye, left_side=True, lower=False)
 
 
-@partial(jax.jit, static_argnames=("band_size",))
-def reduction_to_band(a: DistMatrix,
-                      band_size: int | None = None
-                      ) -> Tuple[DistMatrix, jnp.ndarray]:
+def _reduction_to_band(a: DistMatrix,
+                       band_size: int | None = None
+                       ) -> Tuple[DistMatrix, jnp.ndarray]:
     """Reduce a Hermitian matrix (lower stored) to band form.
 
     Returns ``(mat_out, taus)``: ``mat_out``'s band holds the banded matrix
@@ -291,6 +290,27 @@ def reduction_to_band(a: DistMatrix,
 
     NAT, taus_all = carry
     return store_natural_exact(a, NAT[:n, :n]), taus_all
+
+
+_r2b_jit = partial(jax.jit, static_argnames=("band_size",))(
+    _reduction_to_band)
+# donating the input lets XLA alias it into the Hermitian-full workspace:
+# at n = 32768 that n^2 buffer (4.3 GB f32) is the difference between the
+# reduction fitting next to its padded carry or not
+_r2b_jit_donated = partial(jax.jit, static_argnames=("band_size",),
+                           donate_argnums=(0,))(_reduction_to_band)
+
+
+def reduction_to_band(a: DistMatrix, band_size: int | None = None, *,
+                      donate: bool = False
+                      ) -> Tuple[DistMatrix, jnp.ndarray]:
+    """See :func:`_reduction_to_band`; ``donate=True`` releases ``a``'s
+    device buffer into the reduction (the caller must not reuse it)."""
+    fn = _r2b_jit_donated if donate else _r2b_jit
+    return fn(a, band_size)
+
+
+reduction_to_band.__doc__ = _reduction_to_band.__doc__
 
 
 @partial(jax.jit, static_argnames=("band_size",))
