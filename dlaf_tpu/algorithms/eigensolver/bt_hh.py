@@ -73,8 +73,7 @@ def bt_hh_window_schedule(n: int, b: int, g: int):
             np.asarray(r0_rows, np.int32))
 
 
-@partial(jax.jit, static_argnames=("b", "g", "e_sharding"))
-def _bt_hh_scan(E, stream, widx, r0, b: int, g: int, e_sharding=None):
+def _bt_hh_scan_impl(E, stream, widx, r0, b: int, g: int, e_sharding=None):
     """Scan the window sequence over (row-padded) E."""
     hw = b + g - 1
     dtype = E.dtype
@@ -129,12 +128,24 @@ def _bt_hh_scan(E, stream, widx, r0, b: int, g: int, e_sharding=None):
     return E
 
 
-def bt_hh_apply(res: HHChaseResult, E, e_sharding=None):
+_bt_hh_scan = partial(jax.jit, static_argnames=("b", "g", "e_sharding"))(
+    _bt_hh_scan_impl)
+# donating E (the in-place scan carry) and the reflector stream (dead after
+# the window pre-gather) cuts ~6.4 GB of peak at n = 32768
+_bt_hh_scan_donated = partial(
+    jax.jit, static_argnames=("b", "g", "e_sharding"),
+    donate_argnums=(0, 1))(_bt_hh_scan_impl)
+
+
+def bt_hh_apply(res: HHChaseResult, E, e_sharding=None,
+                donate: bool = False):
     """Apply the band->tridiag transform: returns ``Q @ (D @ E)``.
 
     ``E``: ``[n, ncols]`` eigenvectors of the real tridiagonal (real); the
     result is complex iff the band input was complex.  ``e_sharding``:
     optional column ``NamedSharding`` for the distributed back-transform.
+    ``donate=True`` releases ``E``'s and ``res.V``'s device buffers into
+    the transform (callers must not reuse them).
     """
     n, b = res.n, res.band
     E = jnp.asarray(E)
@@ -163,7 +174,8 @@ def bt_hh_apply(res: HHChaseResult, E, e_sharding=None):
     pad = max(0, (max(int(r0.max()) + hw, n) - n)) if len(r0) else 0
     Ex = jnp.concatenate(
         [E, jnp.zeros((pad,) + E.shape[1:], E.dtype)], axis=0)
-    Ex = _bt_hh_scan(Ex, jnp.asarray(res.V), jnp.asarray(widx),
-                     jnp.asarray(r0), b=b, g=g, e_sharding=e_sharding)
+    scan = _bt_hh_scan_donated if donate else _bt_hh_scan
+    Ex = scan(Ex, jnp.asarray(res.V), jnp.asarray(widx),
+              jnp.asarray(r0), b=b, g=g, e_sharding=e_sharding)
     out = Ex[:n]
     return out[:, 0] if squeeze else out

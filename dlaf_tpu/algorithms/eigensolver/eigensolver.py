@@ -146,7 +146,9 @@ def hermitian_eigensolver(
     mark("tridiag D&C", z)
 
     if use_hh:
-        e2 = bt_hh_apply(res, z, e_sharding=col_shard)
+        # z and the reflector stream are dead after this transform
+        e2 = bt_hh_apply(res, z, e_sharding=col_shard, donate=True)
+        z = None
     else:
         e2 = bt_band_to_tridiagonal(res, z)
     mark("bt_band_to_tridiag", e2)
