@@ -209,26 +209,14 @@ def _reduction_to_band(a: DistMatrix,
 
     nt = _cdiv(n, b)
     n_panels = max(nt - 1, 0)
+    dtype = a.dtype
     nat = tile.hermitian_full(natural_exact(a), "L")
-    dtype = nat.dtype
     taus_all = jnp.zeros((max(n_panels, 1), b), dtype)
     if n_panels == 0:
         return store_natural_exact(a, nat), taus_all
 
-    # Panel sizes are bucketed (padded up to a multiple of G) so each bucket
-    # compiles ONE fori_loop body with dynamic slices — the unbucketed
-    # unrolled loop compiles nt distinct gemm shapes (minutes of XLA time at
-    # nt ~ 16+).  Padded rows/cols hold exact zeros and stay zero through
-    # the two-sided updates, so no masking is needed.
-    # bucket granularity: multiples of 1024 for large n — XLA's QR/gemm
-    # lowerings compile orders of magnitude slower at odd sizes (measured:
-    # geqrf at 1792 rows ~ 90s, at 1920/2048/4096 ~ 1s)
-    if n >= 2048:
-        G = max(b, 1024)
-    else:
-        G = max(b, _cdiv(max(n // 8, 1), b) * b)
-    N = n + G
-    NAT = jnp.zeros((N, N), dtype)
+    G = _bucket_granule(n, b)
+    NAT = jnp.zeros((n + G, n + G), dtype)
     NAT = lax.dynamic_update_slice(NAT, nat, (0, 0))
 
     def constrain(x):
@@ -239,12 +227,44 @@ def _reduction_to_band(a: DistMatrix,
             return x
         return lax.with_sharding_constraint(x, a.grid.sharding())
 
-    NAT = constrain(NAT)
+    NAT, taus_all = _panel_loop(constrain(NAT), taus_all, n, b, G, constrain)
+    return store_natural_exact(a, NAT[:n, :n]), taus_all
+
+
+def _bucket_granule(n: int, b: int) -> int:
+    """Panel-height bucket granule G.
+
+    Panel sizes are bucketed (padded up to a multiple of G) so each bucket
+    compiles ONE fori_loop body with dynamic slices — the unbucketed
+    unrolled loop compiles nt distinct gemm shapes (minutes of XLA time at
+    nt ~ 16+).  Padded rows/cols hold exact zeros and stay zero through
+    the two-sided updates, so no masking is needed.
+    Granularity: multiples of 1024 for large n — XLA's QR/gemm lowerings
+    compile orders of magnitude slower at odd sizes (measured: geqrf at
+    1792 rows ~ 90s, at 1920/2048/4096 ~ 1s).
+    """
+    if n >= 2048:
+        return max(b, 1024)
+    return max(b, _cdiv(max(n // 8, 1), b) * b)
+
+
+def _panel_loop(NAT, taus_all, n, b, G, constrain):
+    """Blocked-Householder panel sweep over the padded full workspace."""
+    dtype = NAT.dtype
+    n_panels = max(_cdiv(n, b) - 1, 0)
 
     # the panel QR runs at ONE fixed shape across all buckets: the geqrf
     # lowering is the expensive-to-compile op, and zero pad rows produce
     # zero reflector rows, so results are identical
     PH = max(_cdiv(n - b, G) * G, b)
+
+    # Above this trailing-block byte size the two-sided update streams over
+    # [pmp, G] column chunks instead of materializing the full [pmp, pmp]
+    # trailing block twice per panel (slice out + updated copy) — at
+    # n = 32768 f32 that is the difference between a 13 GB and a ~9 GB
+    # reduction peak (measured via Compiled.memory_analysis).
+    from ...tune import get_tune_parameters
+    chunk_bytes = get_tune_parameters().r2b_chunk_bytes
 
     def body(k, carry, pmp):
         NAT, taus_all = carry
@@ -259,22 +279,59 @@ def _reduction_to_band(a: DistMatrix,
         T = t_factor(V, taus)
         taus_all = lax.dynamic_update_slice(taus_all, taus[None], (k, 0))
 
-        # two-sided trailing update: A <- A - X V^H - V X^H
-        trail = lax.dynamic_slice(NAT, (c0, c0), (pmp, pmp))
-        VT = tile.dot(V, T)
-        Y = tile.dot(trail, VT)                      # A V T
-        S = tile.dot(tile.adj(VT), Y)                # T^H V^H A V T
-        X = Y - 0.5 * tile.dot(V, S)
-        trail = trail - tile.dot(X, tile.adj(V)) - tile.dot(V, tile.adj(X))
-        NAT = lax.dynamic_update_slice(NAT, trail, (c0, c0))
-
-        # panel block: R in the band, V strictly below; mirror R^H above
+        # panel output blocks: R in the band, V strictly below; R^H above
         rows = lax.broadcasted_iota(jnp.int32, (pmp, b), 0)
         cols = lax.broadcasted_iota(jnp.int32, (pmp, b), 1)
         pout = jnp.where(rows <= cols, R, V)
-        NAT = lax.dynamic_update_slice(NAT, pout, (c0, j0))
         rband = jnp.where(rows <= cols, R, jnp.zeros_like(R))[:b]
-        NAT = lax.dynamic_update_slice(NAT, tile.adj(rband), (j0, c0))
+
+        # two-sided trailing update: A <- A - X V^H - V X^H
+        VT = tile.dot(V, T)
+        trail_bytes = pmp * pmp * jnp.zeros((), dtype).itemsize
+        if chunk_bytes and trail_bytes > chunk_bytes and pmp % G == 0:
+            # Streamed over [pmp, G] column chunks so the full [pmp, pmp]
+            # trailing block is never materialized.  Statement order is
+            # load-bearing for XLA's in-place while-carry aliasing (else
+            # copy insertion double-buffers the whole workspace): ALL
+            # reads of NAT (yacc) come before ANY write, and the one-shot
+            # DUS writes (pout/rband) come before the write loop (upd).
+            nc = pmp // G
+
+            def yacc(j, Yc):                        # Y = A V T, streamed
+                # barrier: ties each chunk read to the previous partial
+                # sum, else the scheduler materializes many [pmp, G]
+                # slices concurrently (measured: halves the sweep temps)
+                Yc, j2 = lax.optimization_barrier((Yc, j))
+                sl = lax.dynamic_slice(NAT, (c0, c0 + j2 * G), (pmp, G))
+                vt = lax.dynamic_slice(VT, (j2 * G, 0), (G, b))
+                return Yc + tile.dot(sl, vt)
+
+            Y = lax.fori_loop(0, nc, yacc, jnp.zeros((pmp, b), dtype))
+            S = tile.dot(tile.adj(VT), Y)            # T^H V^H A V T
+            X = Y - 0.5 * tile.dot(V, S)
+            Vh, Xh = tile.adj(V), tile.adj(X)
+
+            NAT = lax.dynamic_update_slice(NAT, pout, (c0, j0))
+            NAT = lax.dynamic_update_slice(NAT, tile.adj(rband), (j0, c0))
+
+            def upd(j, NATc):                        # rank-2b, one col chunk
+                vh = lax.dynamic_slice(Vh, (0, j * G), (b, G))
+                xh = lax.dynamic_slice(Xh, (0, j * G), (b, G))
+                cur = lax.dynamic_slice(NATc, (c0, c0 + j * G), (pmp, G))
+                new = cur - tile.dot(X, vh) - tile.dot(V, xh)
+                return lax.dynamic_update_slice(NATc, new, (c0, c0 + j * G))
+
+            NAT = lax.fori_loop(0, nc, upd, NAT)
+        else:
+            trail = lax.dynamic_slice(NAT, (c0, c0), (pmp, pmp))
+            Y = tile.dot(trail, VT)                  # A V T
+            S = tile.dot(tile.adj(VT), Y)            # T^H V^H A V T
+            X = Y - 0.5 * tile.dot(V, S)
+            trail = (trail - tile.dot(X, tile.adj(V))
+                     - tile.dot(V, tile.adj(X)))
+            NAT = lax.dynamic_update_slice(NAT, trail, (c0, c0))
+            NAT = lax.dynamic_update_slice(NAT, pout, (c0, j0))
+            NAT = lax.dynamic_update_slice(NAT, tile.adj(rband), (j0, c0))
         return constrain(NAT), taus_all
 
     carry = (NAT, taus_all)
@@ -288,8 +345,7 @@ def _reduction_to_band(a: DistMatrix,
         carry = lax.fori_loop(k0, k1, partial(body, pmp=pmp), carry)
         k0 = k1
 
-    NAT, taus_all = carry
-    return store_natural_exact(a, NAT[:n, :n]), taus_all
+    return carry
 
 
 _r2b_jit = partial(jax.jit, static_argnames=("band_size",))(
@@ -301,11 +357,115 @@ _r2b_jit_donated = partial(jax.jit, static_argnames=("band_size",),
                            donate_argnums=(0,))(_reduction_to_band)
 
 
+def _full_natural(a: DistMatrix):
+    """Full-Hermitian natural matrix; same shape as the donated input, so
+    the output aliases it (peak = input + one transpose temp; the
+    ``where`` form measurably avoids the extra protective copy that
+    ``tril(a) + adj(tril(a,-1))`` costs under input/output aliasing)."""
+    nat = natural_exact(a)
+    m = nat.shape[0]
+    i = lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    j = lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    return jnp.where(i >= j, nat, tile.adj(nat))
+
+
+_full_jit_donated = jax.jit(_full_natural, donate_argnums=(0,))
+
+
+def _pad_workspace(nat, G: int):
+    n = nat.shape[0]
+    NAT = jnp.zeros((n + G, n + G), nat.dtype)
+    return lax.dynamic_update_slice(NAT, nat, (0, 0))
+
+
+_pad_jit_donated = partial(jax.jit, static_argnames=("G",),
+                           donate_argnums=(0,))(_pad_workspace)
+
+_main_jit_cache: dict = {}
+
+
+def _main_jit_for(dist, grid, b: int, G: int):
+    """Donated-workspace sweep jit for one (distribution, band) signature.
+
+    The multi-jit split keeps every stage's live set to at most two
+    full-matrix buffers (one-jit reduction peak 13 GB -> ~8.5 GB at
+    n = 32768 f32): the sweep's fori carry aliases the *donated*
+    [n+G, n+G] workspace (donation aliases equal-shaped outputs, so the
+    final workspace is returned), and the [n, n] band/reflector output is
+    extracted in a separate jit (:func:`_store_jit_for`) that donates the
+    workspace.
+    """
+    key = (dist, grid, b, G)
+    fn = _main_jit_cache.get(key)
+    if fn is not None:
+        return fn
+    n = dist.size[0]
+    n_panels = max(_cdiv(n, b) - 1, 0)
+
+    def main(NAT):
+        def constrain(x):
+            if grid is None:
+                return x
+            return lax.with_sharding_constraint(x, grid.sharding())
+
+        taus_all = jnp.zeros((max(n_panels, 1), b), NAT.dtype)
+        NAT2, taus_all = _panel_loop(NAT, taus_all, n, b, G, constrain)
+        return taus_all, NAT2
+
+    fn = jax.jit(main, donate_argnums=(0,))
+    _main_jit_cache[key] = fn
+    return fn
+
+
+_store_jit_cache: dict = {}
+
+
+def _store_jit_for(dist, grid):
+    """Workspace -> storage-order data (donates the workspace)."""
+    key = (dist, grid)
+    fn = _store_jit_cache.get(key)
+    if fn is not None:
+        return fn
+    n = dist.size[0]
+
+    def store(NAT):
+        res = NAT[:n, :n]
+        Mp, Np = dist.padded_size
+        if (n, n) != (Mp, Np):
+            padded = jnp.zeros((Mp, Np), res.dtype)
+            padded = lax.dynamic_update_slice(padded, res, (0, 0))
+        else:
+            padded = res
+        from ...matrix.layout import natural_to_storage
+        data = natural_to_storage(padded, dist)
+        if grid is not None:
+            data = lax.with_sharding_constraint(data, grid.sharding())
+        return data
+
+    fn = jax.jit(store, donate_argnums=(0,))
+    _store_jit_cache[key] = fn
+    return fn
+
+
 def reduction_to_band(a: DistMatrix, band_size: int | None = None, *,
                       donate: bool = False
                       ) -> Tuple[DistMatrix, jnp.ndarray]:
     """See :func:`_reduction_to_band`; ``donate=True`` releases ``a``'s
     device buffer into the reduction (the caller must not reuse it)."""
+    from ...tune import get_tune_parameters
+    chunk_bytes = get_tune_parameters().r2b_chunk_bytes
+    n = a.size[0]
+    b = int(band_size) if band_size is not None else a.block_size[0]
+    big = bool(chunk_bytes) and \
+        n * n * jnp.zeros((), a.dtype).itemsize > chunk_bytes
+    if donate and big and _cdiv(n, max(b, 1)) > 1:
+        G = _bucket_granule(n, b)
+        nat = _full_jit_donated(a)
+        NAT = _pad_jit_donated(nat, G=G)
+        del nat
+        taus, NAT2 = _main_jit_for(a.dist, a.grid, b, G)(NAT)
+        data = _store_jit_for(a.dist, a.grid)(NAT2)
+        return DistMatrix(data, a.dist, a.grid), taus
     fn = _r2b_jit_donated if donate else _r2b_jit
     return fn(a, band_size)
 

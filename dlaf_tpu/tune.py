@@ -63,6 +63,11 @@ class TuneParameters:
     #: back-transform, the reference's SweepWorker formulation) or "givens"
     #: (rotation chase + wave back-transform).
     band_to_tridiag_algo: str = _env("DLAF_B2T_ALGO", "hh", str)
+    #: reduction-to-band trailing blocks larger than this stream the
+    #: two-sided update over column chunks instead of materializing the
+    #: full [pmp, pmp] trailing block twice per panel (0 = never stream).
+    #: Cuts the n=32768 f32 reduction peak from ~13 GB to ~9 GB.
+    r2b_chunk_bytes: int = _env("DLAF_R2B_CHUNK_BYTES", 1 << 30, int)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)
