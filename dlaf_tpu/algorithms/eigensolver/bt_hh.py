@@ -95,8 +95,14 @@ def _bt_hh_scan_impl(E, stream, widx, r0, b: int, g: int, e_sharding=None):
     # ~0.4 ms each on the v5e — the same pathology as the D&C rotation
     # scan); scan xs slices are dynamic-slices, the fast path.  Memory is
     # ~the stream itself (every reflector lands in exactly one window).
-    streamw = jnp.take(stream, jnp.maximum(widx, 0).reshape(-1),
-                       axis=0).reshape(widx.shape[0], g, b)
+    # A caller that already window-ordered the stream (via
+    # :func:`bt_hh_window_stream`, before the D&C stage holds two full
+    # matrices) passes it 3-D and skips the gather here.
+    if stream.ndim == 3:
+        streamw = stream
+    else:
+        streamw = jnp.take(stream, jnp.maximum(widx, 0).reshape(-1),
+                           axis=0).reshape(widx.shape[0], g, b)
 
     def body(E, xs):
         vrows, w_idx, row0 = xs                            # vrows: [g, b]
@@ -138,44 +144,92 @@ _bt_hh_scan_donated = partial(
 
 
 def bt_hh_apply(res: HHChaseResult, E, e_sharding=None,
-                donate: bool = False):
+                donate: bool = False, stream=None, keep_pad: bool = False):
     """Apply the band->tridiag transform: returns ``Q @ (D @ E)``.
 
     ``E``: ``[n, ncols]`` eigenvectors of the real tridiagonal (real); the
     result is complex iff the band input was complex.  ``e_sharding``:
     optional column ``NamedSharding`` for the distributed back-transform.
-    ``donate=True`` releases ``E``'s and ``res.V``'s device buffers into
+    ``donate=True`` releases ``E``'s and the stream's device buffers into
     the transform (callers must not reuse them).
+
+    Memory-lean callers: pass ``stream=bt_hh_window_stream(res)`` (built
+    before D&C), an E that already carries :func:`bt_hh_pad_rows` zero
+    rows, and ``keep_pad=True`` — then no full-matrix copy is made here
+    and the padded result feeds ``bt_reduction_to_band`` directly.
     """
     n, b = res.n, res.band
     E = jnp.asarray(E)
     squeeze = E.ndim == 1
     if squeeze:
         E = E[:, None]
-    if E.shape[0] != n:
-        raise ValueError(f"E rows {E.shape[0]} != n {n}")
+    if E.shape[0] < n:
+        raise ValueError(f"E rows {E.shape[0]} < n {n}")
     if res.phases is not None:
         E = E.astype(res.phases.dtype)
-        E = jnp.asarray(res.phases)[:, None] * E
+        E = jnp.asarray(res.phases)[:, None] * E[:n]
 
+    stream = stream if stream is not None else res.V
     from ...utils.asserts import assert_moderate
-    assert_moderate(res.V.ndim == 2 and res.V.shape[1] == b,
-                    "reflector stream width != band", shape=res.V.shape,
+    assert_moderate(stream.ndim == 3 or
+                    (stream.ndim == 2 and stream.shape[1] == b),
+                    "reflector stream width != band", shape=stream.shape,
                     band=b)
     R = res.V.shape[0]
     if R == 0 or n <= 2 or b <= 1:
+        E = E[:n] if not keep_pad else E
         return E[:, 0] if squeeze else E
 
     g = int(get_tune_parameters().bt_group_size)
     g = max(1, min(g, max(n - 2, 1)))
     widx, r0 = bt_hh_window_schedule(n, b, g)
 
-    hw = b + g - 1
-    pad = max(0, (max(int(r0.max()) + hw, n) - n)) if len(r0) else 0
-    Ex = jnp.concatenate(
-        [E, jnp.zeros((pad,) + E.shape[1:], E.dtype)], axis=0)
+    pad = bt_hh_pad_rows(n, b, g)
+    if E.shape[0] < n + pad:
+        E = jnp.concatenate(
+            [E, jnp.zeros((n + pad - E.shape[0],) + E.shape[1:], E.dtype)],
+            axis=0)
     scan = _bt_hh_scan_donated if donate else _bt_hh_scan
-    Ex = scan(Ex, jnp.asarray(res.V), jnp.asarray(widx),
+    Ex = scan(E, jnp.asarray(stream), jnp.asarray(widx),
               jnp.asarray(r0), b=b, g=g, e_sharding=e_sharding)
-    out = Ex[:n]
+    out = Ex if keep_pad else Ex[:n]
     return out[:, 0] if squeeze else out
+
+
+def bt_hh_pad_rows(n: int, b: int, g: int | None = None) -> int:
+    """Zero rows below row n the BT-B2T scan needs on E.
+
+    Callers that produce E (the D&C gemm) can allocate them up front so
+    no padded copy of E is ever made; the pad rows stay exactly zero
+    through the scan (reflector entries past the matrix edge are zero).
+    """
+    if g is None:
+        g = int(get_tune_parameters().bt_group_size)
+    g = max(1, min(g, max(n - 2, 1)))
+    _, r0 = bt_hh_window_schedule(n, b, g)
+    hw = b + g - 1
+    return max(0, (max(int(r0.max()) + hw, n) - n)) if len(r0) else 0
+
+
+def bt_hh_window_stream(res: HHChaseResult, g: int | None = None):
+    """Window-ordered reflector stream [Nw, g, b] (donates ``res.V``).
+
+    Run this *before* the D&C stage: the gather briefly holds the stream
+    twice, which is cheap then but pushes the peak over budget if it
+    happens inside the BT scan while two full matrices are live.
+    """
+    n, b = res.n, res.band
+    if res.V.shape[0] == 0 or n <= 2 or b <= 1:
+        return res.V
+    if g is None:
+        g = int(get_tune_parameters().bt_group_size)
+    g = max(1, min(g, max(n - 2, 1)))
+    widx, _ = bt_hh_window_schedule(n, b, g)
+    return _window_gather_jit(jnp.asarray(res.V), jnp.asarray(widx),
+                              g=g, b=b)
+
+
+@partial(jax.jit, static_argnames=("g", "b"), donate_argnums=(0,))
+def _window_gather_jit(stream, widx, g: int, b: int):
+    return jnp.take(stream, jnp.maximum(widx, 0).reshape(-1),
+                    axis=0).reshape(widx.shape[0], g, b)

@@ -28,16 +28,102 @@ from ..internal import natural_exact, store_natural_exact
 from .reduction_to_band import _cdiv, t_factor
 
 
-@partial(jax.jit, static_argnames=("band_size", "e_sharding"))
 def bt_reduction_to_band(band_size: int, mat_e, mat_hh: DistMatrix, taus,
-                         e_sharding=None):
+                         e_sharding=None, donate: bool = False):
     """Returns ``Q1 @ E``.
 
     ``mat_e``: DistMatrix (or array) of eigenvectors [n, m]; ``mat_hh``: the
     ``reduction_to_band`` output holding V below the band; ``taus``:
     ``[n_panels, band_size]``.  ``e_sharding``: optional column
     ``NamedSharding`` distributing the gemms over E's columns.
+
+    ``donate=True`` (array ``mat_e``, no sharding) routes to an in-place
+    path that donates E, reads V panels with clamped-and-masked slices
+    (no padded copies of E or mat_hh), and streams the WY update over
+    column chunks — peak ~2 full buffers instead of ~4, the difference
+    between fitting and OOM at n = 32768.  ``mat_e`` may carry extra
+    zero rows below row n (e.g. the BT-B2T scan pad); they are preserved.
     """
+    if donate and not isinstance(mat_e, DistMatrix) and e_sharding is None:
+        E = jnp.asarray(mat_e)
+        nat_hh_dtype = mat_hh.dtype
+        if E.dtype != nat_hh_dtype:
+            E = E.astype(nat_hh_dtype)
+        return _bt_r2b_inplace(E, mat_hh, taus, band_size=band_size)
+    if not isinstance(mat_e, DistMatrix):
+        mat_e = jnp.asarray(mat_e)
+        n = mat_hh.size[0]
+        if mat_e.shape[0] > n:          # strip BT-scan pad rows
+            mat_e = mat_e[:n]
+    return _bt_r2b_padded(band_size, mat_e, mat_hh, taus,
+                          e_sharding=e_sharding)
+
+
+@partial(jax.jit, static_argnames=("band_size",), donate_argnums=(0,))
+def _bt_r2b_inplace(E, mat_hh: DistMatrix, taus, band_size: int):
+    """In-place blocked WY back-transform (single-chip memory path)."""
+    b = band_size
+    nat_hh = natural_exact(mat_hh)
+    n = nat_hh.shape[0]
+    n_panels = max(_cdiv(n, b) - 1, 0)
+    nc = E.shape[1]
+    dtype = E.dtype
+    if n_panels == 0:
+        return E
+
+    from .reduction_to_band import _bucket_granule
+    G = _bucket_granule(n, b)
+    Cc = min(2048, nc)
+    nfull, tail = nc // Cc, nc % Cc
+
+    def body(i, E, k_hi, pmp):
+        k = k_hi - 1 - i
+        j0 = k * b
+        c0 = j0 + b
+        # clamped read start: the slice stays in bounds, the rows that
+        # slid in above c0 are masked out of V so they contribute nothing
+        cs = jnp.minimum(jnp.int32(c0), jnp.int32(n - pmp))
+        shift = jnp.int32(c0) - cs
+        pan = lax.dynamic_slice(nat_hh, (cs, jnp.int32(j0)), (pmp, b))
+        rows = lax.broadcasted_iota(jnp.int32, (pmp, b), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (pmp, b), 1)
+        tk = jnp.take(taus, k, axis=0)
+        V = jnp.where(rows > cols + shift, pan, jnp.zeros_like(pan))
+        unit = jnp.where((rows == cols + shift) & (tk[None, :] != 0),
+                         jnp.ones_like(V), jnp.zeros_like(V))
+        V = V + unit
+        T = t_factor(V, tk)
+        Vh = tile.adj(V)
+
+        def col_chunk(j, E, cw):
+            cc0 = j * Cc if cw == Cc else nfull * Cc
+            Es = lax.dynamic_slice(E, (cs, jnp.int32(cc0)), (pmp, cw))
+            W = tile.dot(Vh, Es)
+            Es = Es - tile.dot(V, tile.dot(T, W))
+            return lax.dynamic_update_slice(E, Es, (cs, jnp.int32(cc0)))
+
+        E = lax.fori_loop(0, nfull, partial(col_chunk, cw=Cc), E)
+        if tail:
+            E = col_chunk(0, E, tail)
+        return E
+
+    k_hi = n_panels
+    while k_hi > 0:
+        pm = n - k_hi * b
+        pmp = min(max(_cdiv(pm, G) * G, b), n)
+        k_lo = k_hi
+        while k_lo > 0 and min(max(_cdiv(n - k_lo * b, G) * G, b), n) == pmp:
+            k_lo -= 1
+        E = lax.fori_loop(0, k_hi - k_lo,
+                          partial(body, k_hi=k_hi, pmp=pmp), E)
+        k_hi = k_lo
+    return E
+
+
+@partial(jax.jit, static_argnames=("band_size", "e_sharding"))
+def _bt_r2b_padded(band_size: int, mat_e, mat_hh: DistMatrix, taus,
+                   e_sharding=None):
+    """Padded-workspace path (distributed / sharded runs)."""
     b = band_size
     is_dist = isinstance(mat_e, DistMatrix)
     E = natural_exact(mat_e) if is_dist else jnp.asarray(mat_e)

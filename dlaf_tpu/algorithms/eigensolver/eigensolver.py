@@ -137,29 +137,44 @@ def hermitian_eigensolver(
         res = band_to_tridiagonal(ab, band)
     mark("band_to_tridiag (host chase)")
 
+    streamw = None
+    row_pad = 0
+    if use_hh and res.V.shape[0] > 0 and n > 2 and band > 1:
+        # window-order the reflector stream NOW (it briefly exists twice)
+        # and have D&C allocate the BT scan's zero pad rows up front —
+        # both are cheap before D&C holds two full matrices, and they
+        # remove every full-matrix copy from the BT path
+        from .bt_hh import bt_hh_pad_rows, bt_hh_window_stream
+        streamw = bt_hh_window_stream(res)
+        row_pad = bt_hh_pad_rows(n, band)
+
     lam, z = tridiagonal_eigensolver(jnp.asarray(res.d, rdtype),
                                      jnp.asarray(res.e, rdtype),
                                      leaf_size=min(leaf_size, max(n, 1)),
-                                     q_sharding=row_shard)
+                                     q_sharding=row_shard,
+                                     row_pad=row_pad)
     lam = lam[:n_ev]
-    z = z[:, :n_ev]
+    if n_ev < n:
+        z = z[:, :n_ev]
     mark("tridiag D&C", z)
 
     if use_hh:
         # z and the reflector stream are dead after this transform
-        e2 = bt_hh_apply(res, z, e_sharding=col_shard, donate=True)
-        z = None
+        e2 = bt_hh_apply(res, z, e_sharding=col_shard, donate=True,
+                         stream=streamw, keep_pad=True)
+        z = streamw = None
     else:
         e2 = bt_band_to_tridiagonal(res, z)
     mark("bt_band_to_tridiag", e2)
     if e2.dtype != adtype:
         e2 = e2.astype(adtype)
-    e = bt_reduction_to_band(band, e2, mat_hh, taus, e_sharding=col_shard)
+    e = bt_reduction_to_band(band, e2, mat_hh, taus, e_sharding=col_shard,
+                             donate=use_hh and col_shard is None)
+    e2 = None
     mark("bt_reduction_to_band", e)
 
-    evec = DistMatrix.from_natural(
-        jnp.zeros((n, n_ev), adtype), ablock, agrid)
-    evec = store_natural_exact(evec, e)
+    evec = DistMatrix.from_natural(e[:n] if e.shape[0] != n else e,
+                                   ablock, agrid)
     debug_dump("eigensolver", evec, "eigenvectors")
     if timer is not None:
         print("eigensolver stage breakdown:")

@@ -238,17 +238,24 @@ def _hh_chase_native(ab2: np.ndarray, n: int, b: int, chunk_cb=None):
         while True:
             alive = th.is_alive()
             avail = int(done[0])
-            if avail - sent >= chunk or (not alive and avail > sent):
-                chunk_cb(V[sent:avail])
-                sent = avail
+            # publish whole multiples of `chunk` rows so the consumer's
+            # upload path sees ONE fixed shape (a jitted device
+            # accumulator would retrace per distinct chunk height)
+            while avail - sent >= chunk:
+                chunk_cb(V[sent:sent + chunk])
+                sent += chunk
             if not alive:
                 break
             _time.sleep(0.01)
         th.join()
         if rc_box[0] != 0:
             return None
+        avail = int(done[0])
+        while avail - sent >= chunk:
+            chunk_cb(V[sent:sent + chunk])
+            sent += chunk
         if sent < R:
-            chunk_cb(V[sent:R])
+            chunk_cb(V[sent:R])         # one odd-shaped tail
     else:
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
@@ -259,6 +266,23 @@ def _hh_chase_native(ab2: np.ndarray, n: int, b: int, chunk_cb=None):
             return None
     ab2[...] = abf
     return V
+
+
+@lru_cache(maxsize=None)
+def _dus_jit():
+    import jax
+
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda buf, rows, r0: jax.lax.dynamic_update_slice(
+            buf, rows, (r0, jnp.zeros((), r0.dtype))),
+        donate_argnums=(0,))
+
+
+def _dus_donated(buf, rows, r0):
+    """In-place (donated) row write into the device stream buffer."""
+    return _dus_jit()(buf, rows, r0)
 
 
 def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
@@ -288,13 +312,27 @@ def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
     dtype = ab.dtype
 
     stream_ok = device_stream and not np.iscomplexobj(ab)
-    chunks: list = []
+    state: dict = {"buf": None, "row": 0}
     cb = None
     if stream_ok:
         import jax
+        import jax.numpy as jnp
 
+        _, R_total = hh_schedule(n, band)
+
+        # Accumulate into ONE preallocated device buffer via donated
+        # dynamic-update-slices: concatenating a chunk list at the end
+        # would briefly hold the stream twice (2 x 2.1 GB at n = 32768)
+        # right when the D&C stage needs the memory.  The native kernel
+        # publishes fixed-size chunks (plus one tail), so this jit traces
+        # twice.
         def cb(rows):
-            chunks.append(jax.device_put(rows))
+            if state["buf"] is None:
+                state["buf"] = jnp.zeros((R_total, band), ab.dtype)
+            r0 = state["row"]
+            state["row"] = r0 + rows.shape[0]
+            state["buf"] = _dus_donated(state["buf"], jax.device_put(rows),
+                                        np.int32(r0))
 
     ab2 = np.zeros((2 * band + 1, n), dtype)
     ab2[: band + 1] = ab
@@ -302,12 +340,10 @@ def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
         V = None if force_numpy else _hh_chase_native(ab2, n, band,
                                                       chunk_cb=cb)
         if V is None:
-            chunks.clear()              # discard any partial upload
+            state["buf"] = None         # discard any partial upload
             V = hh_chase_numpy(ab2, n, band)
-        elif chunks:
-            import jax.numpy as jnp
-            V = (jnp.concatenate(chunks, axis=0)
-                 if len(chunks) > 1 else chunks[0])
+        elif state["buf"] is not None:
+            V = state["buf"]
         elif stream_ok:
             import jax
             V = jax.device_put(V)       # small streams: one async put

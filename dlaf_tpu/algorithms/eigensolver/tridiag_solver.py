@@ -37,7 +37,7 @@ tridiagonal by the band stage's phase transform).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +203,12 @@ def _apply_rotations(Q, li, jj, c, s, constrain=lambda x: x):
     sharded axis the minor one and every step stays collective-free.
     """
     R = jnp.swapaxes(constrain(Q), 0, 1)
+    R = _rotate_rows(R, li, jj, c, s)
+    return constrain(jnp.swapaxes(R, 0, 1))
+
+
+def _rotate_rows(R, li, jj, c, s):
+    """The rotation scan itself, acting on rows of the transposed matrix."""
     w = R.shape[1]
 
     def body(R, rot):
@@ -214,17 +220,27 @@ def _apply_rotations(Q, li, jj, c, s, constrain=lambda x: x):
         return R, None
 
     R, _ = lax.scan(body, R, (li, jj, c, s))
-    return constrain(jnp.swapaxes(R, 0, 1))
+    return R
 
 
-def _merge(D, Q, z, rho, eps, col_chunk: int = 2048,
-           constrain=lambda x: x):
-    """One Cuppen merge: eigensystem of diag(D) + rho * z z^T.
+class _MergeInfo(NamedTuple):
+    """O(m) outputs of :func:`_merge_analysis` consumed by the Q stages."""
+    lam: jnp.ndarray          # merged spectrum, ascending
+    rli: jnp.ndarray          # Givens sequence in original-Q column space
+    rjj: jnp.ndarray
+    rc: jnp.ndarray
+    rs: jnp.ndarray
+    perm2: jnp.ndarray        # final column order (a-space)
+    origin: jnp.ndarray       # secular roots: origin + mu (shifted repr.)
+    mu: jnp.ndarray
+    Da: jnp.ndarray           # deflation-ordered poles
+    zhat: jnp.ndarray         # Gu-Eisenstat stabilized z
+    K: jnp.ndarray            # nondeflated count
+    inv_p01: jnp.ndarray      # original-Q column -> a-space row
 
-    ``D``: [m] (each half ascending), ``Q``: [rows, m] block-diagonal
-    eigenvectors (rows may exceed m and may be sharded), ``z``: [m].
-    Returns (lam ascending, Q_new).
-    """
+
+def _merge_analysis(D, z, rho, eps, col_chunk: int = 2048) -> _MergeInfo:
+    """Deflation + secular + stabilized-z analysis: everything O(m)."""
     m = D.shape[0]
     dt = D.dtype
 
@@ -240,9 +256,6 @@ def _merge(D, Q, z, rho, eps, col_chunk: int = 2048,
     zs = jnp.take(z, perm0)
 
     flags, zs, Ds, (rli, rjj, rc, rs) = _deflate_vectors(Ds, zs, rho, eps)
-    # rotations indexed in sorted space -> act on original columns
-    Q = _apply_rotations(Q, jnp.take(perm0, rli), jnp.take(perm0, rjj),
-                         rc, rs, constrain)
 
     perm1 = jnp.argsort(flags, stable=True)              # "a"-space:
     Da = jnp.take(Ds, perm1)                             # nondeflated first
@@ -297,47 +310,76 @@ def _merge(D, Q, z, rho, eps, col_chunk: int = 2048,
     perm2 = jnp.argsort(lam_a, stable=True)
     lam = jnp.take(lam_a, perm2)
 
-    # streamed eigenvector update: for each chunk of *final* columns,
-    # build the U chunk analytically (rows indexed by original Q columns,
-    # folding perm0/perm1) and apply one MXU gemm.
     inv_p01 = jnp.zeros((m,), p01.dtype).at[p01].set(jidx.astype(p01.dtype))
+    return _MergeInfo(lam, jnp.take(perm0, rli), jnp.take(perm0, rjj),
+                      rc, rs, perm2, origin, mu, Da, zhat, K, inv_p01)
 
-    def u_chunk(cols):
-        """U_exp[:, cols]: [m, mc] with rows in original-Q column order."""
-        p = jnp.take(perm2, cols)                      # a-space column
-        act = p < K
-        ob = jnp.take(origin, p)
-        mb = jnp.take(mu, p)
-        dmat = (Da[:, None] - ob[None, :]) - mb[None, :]   # delta_i - lam_p
-        dsafe = jnp.where(jnp.abs(dmat) > 0, dmat, jnp.ones((), dt))
-        U = jnp.where(act[None, :] & (jidx < K)[:, None],
-                      zhat[:, None] / dsafe, 0)
-        norms = jnp.sqrt(jnp.sum(U * U, axis=0))
-        U = U / jnp.where(norms > 0, norms, jnp.ones((), dt))[None, :]
-        # deflated columns are basis vectors e_p (a-space)
-        U = jnp.where(act[None, :], U,
-                      (jidx[:, None] == p[None, :]).astype(dt))
-        # expand rows a-space -> original Q columns
-        return jnp.take(U, jnp.take(inv_p01, jidx), axis=0)
 
+def _u_chunk(info: _MergeInfo, cols):
+    """U_exp[:, cols]: [m, mc] with rows in original-Q column order."""
+    dt = info.Da.dtype
+    m = info.Da.shape[0]
+    jidx = jnp.arange(m)
+    p = jnp.take(info.perm2, cols)                 # a-space column
+    act = p < info.K
+    ob = jnp.take(info.origin, p)
+    mb = jnp.take(info.mu, p)
+    dmat = (info.Da[:, None] - ob[None, :]) - mb[None, :]  # delta_i - lam_p
+    dsafe = jnp.where(jnp.abs(dmat) > 0, dmat, jnp.ones((), dt))
+    U = jnp.where(act[None, :] & (jidx < info.K)[:, None],
+                  info.zhat[:, None] / dsafe, 0)
+    norms = jnp.sqrt(jnp.sum(U * U, axis=0))
+    U = U / jnp.where(norms > 0, norms, jnp.ones((), dt))[None, :]
+    # deflated columns are basis vectors e_p (a-space)
+    U = jnp.where(act[None, :], U,
+                  (jidx[:, None] == p[None, :]).astype(dt))
+    # expand rows a-space -> original Q columns
+    return jnp.take(U, jnp.take(info.inv_p01, jidx), axis=0)
+
+
+def _merge_gemm(Q, info: _MergeInfo, col_chunk: int,
+                constrain=lambda x: x, row_pad: int = 0):
+    """Streamed eigenvector update: one MXU gemm per final-column chunk.
+
+    ``row_pad`` extra zero rows are allocated below the result (free
+    here; avoids a padded copy in the BT-B2T consumer).
+    """
+    m = info.Da.shape[0]
+    dt = Q.dtype
+    mc = min(col_chunk, m)
+    nchunks = -(-m // mc)
+    jidx = jnp.arange(m)
     rows = Q.shape[0]
-    Qn = constrain(jnp.zeros((rows, m), dt))
+    Qn = constrain(jnp.zeros((rows + row_pad, m), dt))
 
     def gemm_chunk(i, Qn):
         c0 = jnp.minimum(i * mc, m - mc)
         cols = c0 + jidx[:mc]
-        Uc = u_chunk(cols)
+        Uc = _u_chunk(info, cols)
         blk = tile.dot(Q, Uc)
         return constrain(lax.dynamic_update_slice(Qn, blk, (0, c0)))
 
-    Qn = lax.fori_loop(0, nchunks, gemm_chunk, Qn)
-    return lam, Qn
+    return lax.fori_loop(0, nchunks, gemm_chunk, Qn)
 
 
-@partial(jax.jit, static_argnames=("leaf_size", "col_chunk", "q_sharding"))
+def _merge(D, Q, z, rho, eps, col_chunk: int = 2048,
+           constrain=lambda x: x):
+    """One Cuppen merge: eigensystem of diag(D) + rho * z z^T.
+
+    ``D``: [m] (each half ascending), ``Q``: [rows, m] block-diagonal
+    eigenvectors (rows may exceed m and may be sharded), ``z``: [m].
+    Returns (lam ascending, Q_new).
+    """
+    info = _merge_analysis(D, z, rho, eps, col_chunk)
+    Q = _apply_rotations(Q, info.rli, info.rjj, info.rc, info.rs, constrain)
+    Qn = _merge_gemm(Q, info, col_chunk, constrain)
+    return info.lam, Qn
+
+
 def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
                             col_chunk: int = 2048,
                             q_sharding=None,
+                            row_pad: int = 0,
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full eigensystem of the real symmetric tridiagonal (d, e).
 
@@ -350,16 +392,157 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
     full columns, so a row-sharded Q runs them without collectives (the
     O(m) deflation/secular work is replicated, exactly like the reference's
     distributed merge keeps its vectors rank-replicated, ``merge.h:1810``).
+
+    Merges whose Q block exceeds ``tune.dc_stage_bytes`` run as separate
+    jits that *donate* the eigenvector matrix: inside one monolithic jit
+    the top-of-tree merges pin ~4 full matrices at once (measured 15.5 GB
+    at n = 32768 f32); staged with donation the peak is ~2 matrices +
+    chunk temps.
     """
     d = jnp.asarray(d)
     e = jnp.asarray(e)
     n = d.shape[0]
     dt = d.dtype
-    eps = jnp.asarray(np.finfo(np.dtype(dt)).eps, dt)
     if n == 0:
         return d, jnp.zeros((0, 0), dt)
     if n == 1:
         return d, jnp.ones((1, 1), dt)
+
+    from ...tune import get_tune_parameters
+    stage_bytes = get_tune_parameters().dc_stage_bytes
+    itemsize = np.dtype(dt).itemsize
+    _, merges = _split_tree(n, leaf_size)
+    big = [mg for mg in merges
+           if stage_bytes and
+           (mg[2] - mg[0]) ** 2 * itemsize > stage_bytes]
+    big.sort(key=lambda mg: mg[2] - mg[0])
+    big_m = (big[0][2] - big[0][0]) if big else n + 1
+
+    lam, Q = _dc_small_jit(d, e, leaf_size=leaf_size, col_chunk=col_chunk,
+                           q_sharding=q_sharding, max_m=big_m - 1)
+    pad_in_root = bool(row_pad) and bool(big) and \
+        (big[-1][0], big[-1][2]) == (0, n)
+    for (i0, i1, i2) in big:
+        rp = row_pad if pad_in_root and (i0, i2) == (0, n) else 0
+        lam, Q = _dc_big_merge(lam, Q, e, (i0, i1, i2), n,
+                               col_chunk, q_sharding, row_pad=rp)
+    if row_pad and not pad_in_root:
+        Q = jnp.concatenate(
+            [Q, jnp.zeros((row_pad, n), Q.dtype)], axis=0)
+    return lam, Q
+
+
+def _transposed_sharding(q_sharding):
+    if q_sharding is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = list(q_sharding.spec) + [None, None]
+    return NamedSharding(q_sharding.mesh, PartitionSpec(spec[1], spec[0]))
+
+
+def _dc_big_merge(lam, Q, e, merge, n, col_chunk, q_sharding, row_pad=0):
+    """One staged big merge as a pipeline of donated jits.
+
+    Peak per stage is ~2 full Q blocks (input aliased/donated + output),
+    vs ~4 when the transpose -> rotate -> transpose -> gemm chain lives
+    inside one jit (copy insertion cannot prove the intermediate
+    transposes dead across the value chain).
+    """
+    i0, i1, i2 = merge
+    jits = _dc_stage_jits(n, merge, col_chunk, q_sharding, row_pad)
+    full = (i0, i2) == (0, n)
+    info = jits["analysis"](lam, Q, e)
+    Qm = Q if full else jits["slice"](Q)
+    RT = jits["rotate"](Qm, info)       # donates Qm; transposed result
+    del Qm
+    if full:
+        del Q
+    Qrot = jits["untranspose"](RT)      # donates RT
+    del RT
+    Qn = jits["gemm"](Qrot, info)
+    del Qrot
+    if full:
+        return info.lam, Qn
+    return jits["writeback"](lam, Q, info.lam, Qn)
+
+
+_dc_stage_cache: dict = {}
+
+
+def _dc_stage_jits(n, merge, col_chunk, q_sharding, row_pad=0):
+    key = (n, merge, col_chunk, q_sharding, row_pad)
+    jits = _dc_stage_cache.get(key)
+    if jits is not None:
+        return jits
+    i0, i1, i2 = merge
+    m = i2 - i0
+    full = (i0, i2) == (0, n)
+    t_sharding = _transposed_sharding(q_sharding)
+
+    def constrain(x, sh=q_sharding):
+        if sh is None:
+            return x
+        return lax.with_sharding_constraint(x, sh)
+
+    def analysis(lam, Q, e):
+        dt = Q.dtype
+        eps = jnp.asarray(np.finfo(np.dtype(dt)).eps, dt)
+        Dm = lax.dynamic_slice(lam, (i0,), (m,))
+        em = e[i1 - 1]
+        sgn = jnp.where(em < 0, -jnp.ones((), dt), jnp.ones((), dt))
+        rho = jnp.abs(em)
+        r1 = lax.dynamic_slice(Q, (i1 - 1, i0), (1, i1 - i0))[0]
+        r2 = lax.dynamic_slice(Q, (i1, i1), (1, i2 - i1))[0]
+        z = jnp.concatenate([r1, sgn * r2])
+        return _merge_analysis(Dm, z, rho, eps, col_chunk)
+
+    def slice_(Q):
+        return constrain(lax.dynamic_slice(Q, (i0, i0), (m, m)))
+
+    def rotate(Qm, info):
+        R = jnp.swapaxes(constrain(Qm), 0, 1)
+        R = constrain(R, t_sharding)
+        return constrain(_rotate_rows(R, info.rli, info.rjj,
+                                      info.rc, info.rs), t_sharding)
+
+    def untranspose(RT):
+        return constrain(jnp.swapaxes(RT, 0, 1))
+
+    def gemm(Qrot, info):
+        return _merge_gemm(Qrot, info, col_chunk, constrain,
+                           row_pad=row_pad)
+
+    def writeback(lam, Q, lam_m, Qn):
+        lam = lax.dynamic_update_slice(lam, lam_m, (i0,))
+        return lam, constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
+
+    jits = {
+        "analysis": jax.jit(analysis),
+        "slice": jax.jit(slice_),
+        "rotate": jax.jit(rotate, donate_argnums=(0,)),
+        "untranspose": jax.jit(untranspose, donate_argnums=(0,)),
+        "gemm": jax.jit(gemm),
+        "writeback": jax.jit(writeback, donate_argnums=(1,)),
+    }
+    _dc_stage_cache[key] = jits
+    return jits
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "col_chunk", "q_sharding",
+                                   "max_m"))
+def _dc_small_jit(d, e, leaf_size: int = 32, col_chunk: int = 2048,
+                  q_sharding=None, max_m: int | None = None,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Leaves + all merges of size <= max_m in one jit.
+
+    Rank-one diagonal corrections for ALL split points (including staged
+    big merges) are applied here, once, up front.
+    """
+    n = d.shape[0]
+    dt = d.dtype
+    eps = jnp.asarray(np.finfo(np.dtype(dt)).eps, dt)
+    if max_m is None:
+        max_m = n
 
     def constrain(Q):
         if q_sharding is None:
@@ -367,10 +550,13 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
         return lax.with_sharding_constraint(Q, q_sharding)
 
     leaves, merges = _split_tree(n, leaf_size)
+    merges = [mg for mg in merges if mg[2] - mg[0] <= max_m]
+    all_merges = _split_tree(n, leaf_size)[1]
 
-    # upfront rank-1 diagonal corrections at every split point
+    # upfront rank-1 diagonal corrections at every split point (including
+    # the staged big merges executed outside this jit)
     dc = d
-    for (_, i1, _) in merges:
+    for (_, i1, _) in all_merges:
         r = jnp.abs(e[i1 - 1])
         dc = dc.at[i1 - 1].add(-r).at[i1].add(-r)
 
@@ -426,8 +612,13 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
         group = groups[key]
         if len(group) == 1 or m > batch_max_m:
             for (i0, i1, i2) in group:
+                full = (i0, i2) == (0, n)
                 Dm = lam[i0:i2]
-                Qm = constrain(lax.dynamic_slice(Q, (i0, i0), (m, m)))
+                # the root merge IS the whole matrix: slicing it out (and
+                # writing it back) would cost two extra n^2 buffers right
+                # at the memory peak of the tree
+                Qm = Q if full else constrain(
+                    lax.dynamic_slice(Q, (i0, i0), (m, m)))
                 em = e[i1 - 1]
                 sgn = jnp.where(em < 0, -jnp.ones((), dt),
                                 jnp.ones((), dt))
@@ -438,8 +629,11 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
                 lam_m, Qn = _merge(Dm, Qm, z, rho, eps,
                                    col_chunk=col_chunk,
                                    constrain=constrain)
-                lam = lam.at[i0:i2].set(lam_m)
-                Q = constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
+                if full:
+                    lam, Q = lam_m, constrain(Qn)
+                else:
+                    lam = lam.at[i0:i2].set(lam_m)
+                    Q = constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
             continue
 
         starts = jnp.asarray(np.asarray([g[0] for g in group], np.int32))

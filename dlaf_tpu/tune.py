@@ -68,6 +68,9 @@ class TuneParameters:
     #: full [pmp, pmp] trailing block twice per panel (0 = never stream).
     #: Cuts the n=32768 f32 reduction peak from ~13 GB to ~9 GB.
     r2b_chunk_bytes: int = _env("DLAF_R2B_CHUNK_BYTES", 1 << 30, int)
+    #: D&C merges whose Q block exceeds this run as separate donated jits
+    #: (peak ~2 full matrices instead of ~4 inside one jit; 0 = never).
+    dc_stage_bytes: int = _env("DLAF_DC_STAGE_BYTES", 1 << 30, int)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)

@@ -62,10 +62,15 @@ def test_dist_dandc_per_device_bytes():
     d = jnp.linspace(1.0, 2.0, n)
     e = jnp.full((n - 1,), 0.3, jnp.float32)
 
-    c_r = tridiagonal_eigensolver.lower(
-        d, e, leaf_size=64, col_chunk=256).compile()
-    c_d = tridiagonal_eigensolver.lower(
-        d, e, leaf_size=64, col_chunk=256, q_sharding=rs).compile()
+    # tridiagonal_eigensolver stages big merges into separate jits;
+    # _dc_small_jit with max_m = n is the whole monolithic program
+    from dlaf_tpu.algorithms.eigensolver.tridiag_solver import _dc_small_jit
+    c_r = _dc_small_jit.lower(
+        d, e, leaf_size=64, col_chunk=256, q_sharding=None,
+        max_m=n).compile()
+    c_d = _dc_small_jit.lower(
+        d, e, leaf_size=64, col_chunk=256, q_sharding=rs,
+        max_m=n).compile()
     ma_r = c_r.memory_analysis()
     ma_d = c_d.memory_analysis()
     if ma_r is None or ma_d is None:
