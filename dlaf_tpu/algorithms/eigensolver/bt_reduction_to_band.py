@@ -17,6 +17,7 @@ are exact zeros and contribute nothing to the WY update.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,12 @@ def bt_reduction_to_band(band_size: int, mat_e, mat_hh: DistMatrix, taus,
     between fitting and OOM at n = 32768.  ``mat_e`` may carry extra
     zero rows below row n (e.g. the BT-B2T scan pad); they are preserved.
     """
+    if isinstance(mat_hh, PackedPanels):
+        E = jnp.asarray(mat_e)
+        if E.dtype != mat_hh.data.dtype:
+            E = E.astype(mat_hh.data.dtype)
+        return _bt_r2b_inplace_packed(E, mat_hh.data, taus,
+                                      band_size=band_size, n=mat_hh.n)
     if donate and not isinstance(mat_e, DistMatrix) and e_sharding is None:
         E = jnp.asarray(mat_e)
         nat_hh_dtype = mat_hh.dtype
@@ -57,6 +64,125 @@ def bt_reduction_to_band(band_size: int, mat_e, mat_hh: DistMatrix, taus,
             mat_e = mat_e[:n]
     return _bt_r2b_padded(band_size, mat_e, mat_hh, taus,
                           e_sharding=e_sharding)
+
+
+class PackedPanels(NamedTuple):
+    """Reflector panels packed to ~n^2/2 values (half of mat_hh).
+
+    ``data``: [total_rows, b]; panel k of bucket (k_lo, k_hi, pmp, base)
+    occupies rows [base + (k - k_lo) * pmp, ...), read with the same
+    clamped-start convention as the in-place consumer (rows start at
+    ``min((k+1) b, n - pmp)``).
+    """
+    data: jnp.ndarray
+    n: int
+    b: int
+
+
+def _panel_buckets(n: int, b: int):
+    """[(k_lo, k_hi, pmp, base)] covering panels k_hi-1 .. in apply order."""
+    from .reduction_to_band import _bucket_granule
+    G = _bucket_granule(n, b)
+    n_panels = max(_cdiv(n, b) - 1, 0)
+    out = []
+    base = 0
+    k_hi = n_panels
+    while k_hi > 0:
+        pm = n - k_hi * b
+        pmp = min(max(_cdiv(pm, G) * G, b), n)
+        k_lo = k_hi
+        while k_lo > 0 and min(max(_cdiv(n - k_lo * b, G) * G, b), n) == pmp:
+            k_lo -= 1
+        out.append((k_lo, k_hi, pmp, base))
+        base += (k_hi - k_lo) * pmp
+        k_hi = k_lo
+    return out, base
+
+
+def pack_hh_panels(mat_hh: DistMatrix, band_size: int, *,
+                   donate: bool = True) -> PackedPanels:
+    """Pack mat_hh's V panels into a [~n^2/2b, b] buffer (donates mat_hh).
+
+    Halves the reflector footprint the BT stages keep alive (4.0 GB ->
+    2.15 GB at n = 32768 f32): the band and its upper mirror are dead
+    weight once ``extract_band`` ran.
+    """
+    fn = _pack_jit_donated if donate else _pack_jit
+    data = fn(mat_hh, band_size=band_size)
+    return PackedPanels(data, mat_hh.size[0], band_size)
+
+
+def _pack_impl(mat_hh: DistMatrix, band_size: int):
+    b = band_size
+    nat = natural_exact(mat_hh)
+    n = nat.shape[0]
+    buckets, total = _panel_buckets(n, b)
+    P = jnp.zeros((max(total, 1), b), nat.dtype)
+
+    for (k_lo, k_hi, pmp, base) in buckets:
+        def body(i, P, k_lo=k_lo, pmp=pmp, base=base):
+            k = k_lo + i
+            c0 = (k + 1) * b
+            cs = jnp.minimum(jnp.int32(c0), jnp.int32(n - pmp))
+            pan = lax.dynamic_slice(nat, (cs, jnp.int32(k * b)), (pmp, b))
+            return lax.dynamic_update_slice(P, pan, (base + i * pmp, 0))
+
+        P = lax.fori_loop(0, k_hi - k_lo, body, P)
+    return P
+
+
+_pack_jit = partial(jax.jit, static_argnames=("band_size",))(_pack_impl)
+_pack_jit_donated = partial(jax.jit, static_argnames=("band_size",),
+                            donate_argnums=(0,))(_pack_impl)
+
+
+@partial(jax.jit, static_argnames=("band_size", "n"), donate_argnums=(0,))
+def _bt_r2b_inplace_packed(E, P, taus, band_size: int, n: int):
+    """In-place WY back-transform reading packed reflector panels."""
+    b = band_size
+    n_panels = max(_cdiv(n, b) - 1, 0)
+    nc = E.shape[1]
+    dtype = E.dtype
+    if n_panels == 0:
+        return E
+
+    buckets, _ = _panel_buckets(n, b)
+    Cc = min(2048, nc)
+    nfull, tail = nc // Cc, nc % Cc
+
+    for (k_lo, k_hi, pmp, base) in buckets:
+        def body(i, E, k_lo=k_lo, k_hi=k_hi, pmp=pmp, base=base):
+            k = k_hi - 1 - i
+            c0 = (k + 1) * b
+            cs = jnp.minimum(jnp.int32(c0), jnp.int32(n - pmp))
+            shift = jnp.int32(c0) - cs
+            pan = lax.dynamic_slice(P, (base + (k - k_lo) * pmp, 0),
+                                    (pmp, b))
+            rows = lax.broadcasted_iota(jnp.int32, (pmp, b), 0)
+            cols = lax.broadcasted_iota(jnp.int32, (pmp, b), 1)
+            tk = jnp.take(taus, k, axis=0)
+            V = jnp.where(rows > cols + shift, pan, jnp.zeros_like(pan))
+            unit = jnp.where((rows == cols + shift) & (tk[None, :] != 0),
+                             jnp.ones_like(V), jnp.zeros_like(V))
+            V = V + unit
+            T = t_factor(V, tk)
+            Vh = tile.adj(V)
+
+            def col_chunk(j, E, cw):
+                cc0 = j * Cc if cw == Cc else nfull * Cc
+                Es = lax.dynamic_slice(E, (cs, jnp.int32(cc0)), (pmp, cw))
+                W = tile.dot(Vh, Es)
+                Es = Es - tile.dot(V, tile.dot(T, W))
+                return lax.dynamic_update_slice(E, Es,
+                                                (cs, jnp.int32(cc0)))
+
+            E = lax.fori_loop(0, nfull, partial(col_chunk, cw=Cc), E)
+            if tail:
+                E = col_chunk(0, E, tail)
+            return E
+
+        E = lax.fori_loop(0, k_hi - k_lo, body, E)
+    return E
 
 
 @partial(jax.jit, static_argnames=("band_size",), donate_argnums=(0,))

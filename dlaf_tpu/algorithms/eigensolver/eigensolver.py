@@ -121,6 +121,12 @@ def hermitian_eigensolver(
     ab = np.asarray(extract_band(mat_hh, band))
     mark("extract_band")
     use_hh = tp.band_to_tridiag_algo != "givens"
+    if use_hh and col_shard is None:
+        # mat_hh's band + mirror are dead weight from here on: keep only
+        # the packed V panels (~n^2/2 values) through the BT stages
+        from .bt_reduction_to_band import pack_hh_panels
+        mat_hh = pack_hh_panels(mat_hh, band, donate=True)
+        mark("pack_hh_panels")
     if use_hh:
         import jax
         if jax.process_count() > 1:

@@ -338,19 +338,15 @@ def _u_chunk(info: _MergeInfo, cols):
 
 
 def _merge_gemm(Q, info: _MergeInfo, col_chunk: int,
-                constrain=lambda x: x, row_pad: int = 0):
-    """Streamed eigenvector update: one MXU gemm per final-column chunk.
-
-    ``row_pad`` extra zero rows are allocated below the result (free
-    here; avoids a padded copy in the BT-B2T consumer).
-    """
+                constrain=lambda x: x):
+    """Streamed eigenvector update: one MXU gemm per final-column chunk."""
     m = info.Da.shape[0]
     dt = Q.dtype
     mc = min(col_chunk, m)
     nchunks = -(-m // mc)
     jidx = jnp.arange(m)
     rows = Q.shape[0]
-    Qn = constrain(jnp.zeros((rows + row_pad, m), dt))
+    Qn = constrain(jnp.zeros((rows, m), dt))
 
     def gemm_chunk(i, Qn):
         c0 = jnp.minimum(i * mc, m - mc)
@@ -419,16 +415,11 @@ def tridiagonal_eigensolver(d, e, leaf_size: int = 32,
     big_m = (big[0][2] - big[0][0]) if big else n + 1
 
     lam, Q = _dc_small_jit(d, e, leaf_size=leaf_size, col_chunk=col_chunk,
-                           q_sharding=q_sharding, max_m=big_m - 1)
-    pad_in_root = bool(row_pad) and bool(big) and \
-        (big[-1][0], big[-1][2]) == (0, n)
+                           q_sharding=q_sharding, max_m=big_m - 1,
+                           row_pad=row_pad)
     for (i0, i1, i2) in big:
-        rp = row_pad if pad_in_root and (i0, i2) == (0, n) else 0
         lam, Q = _dc_big_merge(lam, Q, e, (i0, i1, i2), n,
-                               col_chunk, q_sharding, row_pad=rp)
-    if row_pad and not pad_in_root:
-        Q = jnp.concatenate(
-            [Q, jnp.zeros((row_pad, n), Q.dtype)], axis=0)
+                               col_chunk, q_sharding)
     return lam, Q
 
 
@@ -440,7 +431,7 @@ def _transposed_sharding(q_sharding):
     return NamedSharding(q_sharding.mesh, PartitionSpec(spec[1], spec[0]))
 
 
-def _dc_big_merge(lam, Q, e, merge, n, col_chunk, q_sharding, row_pad=0):
+def _dc_big_merge(lam, Q, e, merge, n, col_chunk, q_sharding):
     """One staged big merge as a pipeline of donated jits.
 
     Peak per stage is ~2 full Q blocks (input aliased/donated + output),
@@ -449,9 +440,23 @@ def _dc_big_merge(lam, Q, e, merge, n, col_chunk, q_sharding, row_pad=0):
     transposes dead across the value chain).
     """
     i0, i1, i2 = merge
-    jits = _dc_stage_jits(n, merge, col_chunk, q_sharding, row_pad)
+    m = i2 - i0
     full = (i0, i2) == (0, n)
+    from ...tune import get_tune_parameters
+    lean_bytes = get_tune_parameters().dc_lean_bytes
+    lean = bool(lean_bytes) and \
+        m * m * np.dtype(Q.dtype).itemsize > lean_bytes
+    jits = _dc_stage_jits(n, merge, col_chunk, q_sharding, lean)
     info = jits["analysis"](lam, Q, e)
+    if lean:
+        # single donated in-place stage: rotations + U gemm over row
+        # blocks (peak ~1 full matrix + block transients vs ~2.5 for the
+        # transpose-staged pipeline below)
+        if full:
+            return info.lam, jits["lean"](Q, info)
+        Qm = jits["slice"](Q)
+        Qm = jits["lean"](Qm, info)
+        return jits["writeback"](lam, Q, info.lam, Qm)
     Qm = Q if full else jits["slice"](Q)
     RT = jits["rotate"](Qm, info)       # donates Qm; transposed result
     del Qm
@@ -469,8 +474,10 @@ def _dc_big_merge(lam, Q, e, merge, n, col_chunk, q_sharding, row_pad=0):
 _dc_stage_cache: dict = {}
 
 
-def _dc_stage_jits(n, merge, col_chunk, q_sharding, row_pad=0):
-    key = (n, merge, col_chunk, q_sharding, row_pad)
+def _dc_stage_jits(n, merge, col_chunk, q_sharding, lean=False):
+    from ...tune import get_tune_parameters
+    lean_rb = int(get_tune_parameters().dc_lean_rowblock)
+    key = (n, merge, col_chunk, q_sharding, lean, lean_rb)
     jits = _dc_stage_cache.get(key)
     if jits is not None:
         return jits
@@ -509,8 +516,50 @@ def _dc_stage_jits(n, merge, col_chunk, q_sharding, row_pad=0):
         return constrain(jnp.swapaxes(RT, 0, 1))
 
     def gemm(Qrot, info):
-        return _merge_gemm(Qrot, info, col_chunk, constrain,
-                           row_pad=row_pad)
+        return _merge_gemm(Qrot, info, col_chunk, constrain)
+
+    def lean_update(Q, info):
+        """Rotations + U gemm, in place over row blocks (donates Q).
+
+        Qn's rows depend only on Q's same rows (the merge acts on
+        columns), so each row block is read, column-rotated via the
+        transposed scan, multiplied by the analytic U (rebuilt per block
+        and column chunk), and written back — the fori carry stays in
+        the donated buffer, so peak memory is one full matrix plus
+        O(block) transients.
+        """
+        rows = Q.shape[0]
+        mm = info.Da.shape[0]
+        dt = Q.dtype
+        mc = min(col_chunk, mm)
+        ncc = -(-mm // mc)
+        jidx = jnp.arange(mm)
+        rb = min(lean_rb, rows)
+
+        def block(r0, Q, h):
+            # static r0/h: the blocks unroll as a top-level DUS chain
+            # (a post-fori tail write costs a full protective carry copy)
+            Rb = lax.slice(Q, (r0, 0), (r0 + h, mm))
+            RbT = jnp.swapaxes(Rb, 0, 1)
+            RbT = _rotate_rows(RbT, info.rli, info.rjj, info.rc, info.rs)
+            Rb = jnp.swapaxes(RbT, 0, 1)
+
+            def cchunk(i, Out):
+                c0 = jnp.minimum(i * mc, mm - mc)
+                Uc = _u_chunk(info, c0 + jidx[:mc])
+                return lax.dynamic_update_slice(
+                    Out, tile.dot(Rb, Uc), (jnp.int32(0),
+                                            jnp.asarray(c0, jnp.int32)))
+
+            Out = lax.fori_loop(0, ncc, cchunk, jnp.zeros((h, mm), dt))
+            return lax.dynamic_update_slice(Q, Out, (r0, 0))
+
+        r0 = 0
+        while r0 < rows:
+            h = min(rb, rows - r0)
+            Q = block(r0, Q, h)
+            r0 += h
+        return constrain(Q)
 
     def writeback(lam, Q, lam_m, Qn):
         lam = lax.dynamic_update_slice(lam, lam_m, (i0,))
@@ -522,6 +571,7 @@ def _dc_stage_jits(n, merge, col_chunk, q_sharding, row_pad=0):
         "rotate": jax.jit(rotate, donate_argnums=(0,)),
         "untranspose": jax.jit(untranspose, donate_argnums=(0,)),
         "gemm": jax.jit(gemm),
+        "lean": jax.jit(lean_update, donate_argnums=(0,)),
         "writeback": jax.jit(writeback, donate_argnums=(1,)),
     }
     _dc_stage_cache[key] = jits
@@ -529,14 +579,18 @@ def _dc_stage_jits(n, merge, col_chunk, q_sharding, row_pad=0):
 
 
 @partial(jax.jit, static_argnames=("leaf_size", "col_chunk", "q_sharding",
-                                   "max_m"))
+                                   "max_m", "row_pad"))
 def _dc_small_jit(d, e, leaf_size: int = 32, col_chunk: int = 2048,
                   q_sharding=None, max_m: int | None = None,
+                  row_pad: int = 0,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Leaves + all merges of size <= max_m in one jit.
 
     Rank-one diagonal corrections for ALL split points (including staged
-    big merges) are applied here, once, up front.
+    big merges) are applied here, once, up front.  ``row_pad`` extra zero
+    rows below the eigenvector matrix ride through every merge for free
+    (zero rows stay zero under column operations) and save the BT-B2T
+    consumer a padded copy.
     """
     n = d.shape[0]
     dt = d.dtype
@@ -561,7 +615,7 @@ def _dc_small_jit(d, e, leaf_size: int = 32, col_chunk: int = 2048,
         dc = dc.at[i1 - 1].add(-r).at[i1].add(-r)
 
     lam = jnp.zeros((n,), dt)
-    Q = constrain(jnp.zeros((n, n), dt))
+    Q = constrain(jnp.zeros((n + row_pad, n), dt))
 
     # batch equal-size leaves into one vmapped eigh (the reference solves
     # leaves as independent stedc tasks; here one batched MXU/QR kernel);

@@ -17,6 +17,8 @@
 #include <complex>
 #include <cstdint>
 #include <cstring>
+#include <chrono>
+#include <cstdlib>
 #include <thread>
 #include <vector>
 
@@ -184,6 +186,214 @@ void run_sweep(T* ab, int64_t ld, int64_t n, int64_t b, int64_t s,
   progress[s].store(INT32_MAX, std::memory_order_release);
 }
 
+// ---------------------------------------------------------------------------
+// Region-parallel driver: threads own contiguous COLUMN regions (the
+// reference's SweepWorkerDist rank decomposition, mc.h:569, collapsed to
+// shared memory).  A sweep starts in region 0 and is handed across
+// boundaries as (v, tau); thread k runs sweep s through its region while
+// thread k+1 runs sweep s-1 through the next one.  Each thread's working
+// set is its own region -> cache-resident, unlike the sweep-pipelined
+// driver where every thread streams the whole band.  Regions are
+// re-partitioned every round of S sweeps because the active band shrinks
+// (sweep s only touches columns >= s).
+// ---------------------------------------------------------------------------
+
+template <typename T>
+struct HandoffSlot {
+  std::atomic<int64_t> seq{-1};   // sweep index published in this slot
+  int64_t ended;                  // sweep finished before this boundary
+  T tau;
+  std::vector<T> v;
+};
+
+template <typename T>
+void run_region(T* ab, int64_t ld, int64_t n, int64_t b,
+                int64_t s0, int64_t s1, int64_t nsweeps,
+                int64_t Lk, int64_t Rk, bool first, bool last,
+                std::vector<HandoffSlot<T>>* in,   // boundary k (null if first)
+                std::vector<HandoffSlot<T>>* out,  // boundary k+1 (null if last)
+                T* V, const int64_t* off,
+                std::atomic<int32_t>* progress,
+                std::atomic<int64_t>* consumed_in,
+                std::atomic<int64_t>* consumed_out) {
+  const int64_t D = in ? static_cast<int64_t>(in->size()) : 0;
+  const int64_t Do = out ? static_cast<int64_t>(out->size()) : 0;
+  std::vector<T> v(b), w(2 * b);
+
+  auto wait_prev = [&](int64_t s, int64_t t) {
+    if (s == 0) return;
+    int32_t need = static_cast<int32_t>(t) + 3;
+    while (progress[s - 1].load(std::memory_order_acquire) < need)
+      std::this_thread::yield();
+  };
+
+  for (int64_t s = s0; s < s1 && s < nsweeps; ++s) {
+    T tau;
+    int64_t t;
+    bool ended = false;
+    if (first) {
+      // prologue: reflector annihilating column s below the subdiagonal
+      const int64_t l0 = (b < n - 1 - s) ? b : n - 1 - s;
+      if (l0 < 2) {
+        progress[s].store(INT32_MAX, std::memory_order_release);
+        ended = true;
+        tau = T(0);
+        t = 0;
+      } else {
+        wait_prev(s, 0);
+        T* col_s = ab + s * ld + 1;
+        tau = larfg(l0, col_s);
+        v[0] = T(1);
+        for (int64_t i = 1; i < l0; ++i) {
+          v[i] = col_s[i];
+          col_s[i] = T(0);
+        }
+        t = 0;
+      }
+    } else {
+      // consume handoff for sweep s from the upstream boundary
+      HandoffSlot<T>& slot = (*in)[static_cast<size_t>(s % D)];
+      while (slot.seq.load(std::memory_order_acquire) != s)
+        std::this_thread::yield();
+      ended = slot.ended != 0;
+      if (!ended) {
+        tau = slot.tau;
+        std::memcpy(v.data(), slot.v.data(), sizeof(T) * b);
+      }
+      consumed_in->store(s, std::memory_order_release);
+      // first step of this region: smallest t with 1 + s + t*b >= Lk
+      int64_t num = Lk - 1 - s;
+      t = num <= 0 ? 0 : (num + b - 1) / b;
+    }
+
+    if (!ended) {
+      while (true) {
+        const int64_t j = 1 + s + t * b;
+        if (j >= Rk && !last) break;            // hand off downstream
+        if (j >= n - 1) {                        // nothing left
+          progress[s].store(INT32_MAX, std::memory_order_release);
+          ended = true;
+          break;
+        }
+        if (t > 0 || !first) wait_prev(s, t);
+        const int64_t l = (b < n - j) ? b : n - j;
+        T* vr = V + (off[s] + t) * b;
+        vr[0] = tau;
+        for (int64_t i = 1; i < l; ++i) vr[i] = v[i];
+        int64_t m = chase_step(ab, ld, n, b, j, v.data(), tau, w.data());
+        progress[s].store(static_cast<int32_t>(t) + 1,
+                          std::memory_order_release);
+        if (m <= 1) {
+          progress[s].store(INT32_MAX, std::memory_order_release);
+          ended = true;
+          break;
+        }
+        ++t;
+      }
+    }
+
+    if (!last) {
+      HandoffSlot<T>& slot = (*out)[static_cast<size_t>(s % Do)];
+      // wait until the downstream thread consumed the slot's old sweep
+      while (consumed_out->load(std::memory_order_acquire) < s - Do)
+        std::this_thread::yield();
+      slot.ended = ended ? 1 : 0;
+      if (!ended) {
+        slot.tau = tau;
+        std::memcpy(slot.v.data(), v.data(), sizeof(T) * b);
+      }
+      slot.seq.store(s, std::memory_order_release);
+    }
+  }
+}
+
+template <typename T>
+int hh_chase_regions(T* ab, int64_t n, int64_t b, T* V, int64_t R,
+                     int64_t nthreads, const std::vector<int64_t>& off,
+                     std::atomic<int32_t>* progress,
+                     int64_t* done_rows) {
+  const int64_t ld = 2 * b + 1;
+  const int64_t nsweeps = n - 2;
+  const int64_t Wmin = 4 * b;     // >= 3b for the stagger + slack
+
+  std::atomic<int64_t> done_sweeps{0};
+  auto publish = [&]() {
+    if (!done_rows) return;
+    int64_t ds = done_sweeps.load(std::memory_order_acquire);
+    while (ds < nsweeps &&
+           progress[ds].load(std::memory_order_acquire) == INT32_MAX) {
+      if (done_sweeps.compare_exchange_weak(ds, ds + 1,
+                                            std::memory_order_acq_rel))
+        __atomic_store_n(done_rows, off[ds + 1], __ATOMIC_RELEASE);
+    }
+  };
+
+  int64_t s0 = 0;
+  while (s0 < nsweeps) {
+    const int64_t width = n - s0;
+    int64_t T_r = width / Wmin;
+    if (T_r > nthreads) T_r = nthreads;
+    if (T_r < 1) T_r = 1;
+    const int64_t W = width / T_r;
+    // all round sweeps must start inside region 0
+    int64_t S = 2 * width / b;             // ~2 full transits per round
+    if (S > W - 1) S = W - 1;
+    if (S < 1) S = 1;
+    const int64_t s1 = (s0 + S < nsweeps) ? s0 + S : nsweeps;
+
+    if (T_r == 1) {
+      std::vector<T> v(b), w(2 * b);
+      for (int64_t s = s0; s < s1; ++s) {
+        run_sweep(ab, ld, n, b, s, V, off.data(), v.data(), w.data(),
+                  progress);
+        publish();
+      }
+    } else {
+      const int64_t D = 8;                 // handoff ring depth per boundary
+      std::vector<std::vector<HandoffSlot<T>>> rings(
+          static_cast<size_t>(T_r - 1));
+      for (auto& ring : rings) {
+        ring = std::vector<HandoffSlot<T>>(static_cast<size_t>(D));
+        for (auto& slot : ring) slot.v.resize(static_cast<size_t>(b));
+      }
+      std::vector<std::atomic<int64_t>> consumed(
+          static_cast<size_t>(T_r - 1));
+      for (auto& c : consumed) c.store(s0 - 1, std::memory_order_relaxed);
+
+      std::vector<std::thread> threads;
+      threads.reserve(static_cast<size_t>(T_r));
+      for (int64_t k = 0; k < T_r; ++k) {
+        const int64_t Lk = s0 + k * W;
+        const int64_t Rk = (k == T_r - 1) ? n : s0 + (k + 1) * W;
+        auto* in = k > 0 ? &rings[static_cast<size_t>(k - 1)] : nullptr;
+        auto* out = k + 1 < T_r ? &rings[static_cast<size_t>(k)] : nullptr;
+        auto* ci = k > 0 ? &consumed[static_cast<size_t>(k - 1)] : nullptr;
+        auto* co = k + 1 < T_r ? &consumed[static_cast<size_t>(k)] : nullptr;
+        threads.emplace_back([=, &off]() {
+          run_region(ab, ld, n, b, s0, s1, nsweeps, Lk, Rk,
+                     k == 0, k == T_r - 1, in, out, V, off.data(),
+                     progress, ci, co);
+        });
+      }
+      // main thread drives the streaming publish while workers run
+      if (done_rows) {
+        bool alive = true;
+        while (alive) {
+          publish();
+          alive = done_sweeps.load(std::memory_order_acquire) <
+                  ((s1 == nsweeps) ? nsweeps : s1);
+          std::this_thread::sleep_for(std::chrono::milliseconds(2));
+        }
+      }
+      for (auto& th : threads) th.join();
+      publish();
+    }
+    s0 = s1;
+  }
+  if (done_rows) __atomic_store_n(done_rows, R, __ATOMIC_RELEASE);
+  return 0;
+}
+
 template <typename T>
 int hh_chase(T* ab, int64_t n, int64_t b, T* V, int64_t R,
              int64_t* done_rows = nullptr) {
@@ -204,11 +414,25 @@ int hh_chase(T* ab, int64_t n, int64_t b, T* V, int64_t R,
 
   unsigned hw = std::thread::hardware_concurrency();
   int64_t nthreads = hw ? static_cast<int64_t>(hw) : 1;
+  if (const char* env = std::getenv("DLAF_CHASE_THREADS")) {
+    long v = std::atol(env);
+    if (v > 0) nthreads = v;
+  }
   if (nthreads > nsweeps) nthreads = nsweeps;
   if (nthreads > 16) nthreads = 16;
 
   std::vector<std::atomic<int32_t>> progress(nsweeps);
   for (auto& p : progress) p.store(0, std::memory_order_relaxed);
+
+  // Optional region-parallel scheduler (threads own contiguous column
+  // regions; the shared-memory analogue of the reference's
+  // SweepWorkerDist decomposition).  Measured on this box (54 MB L3 —
+  // the whole n=32768 band is L3-resident) it matches but does not beat
+  // the sweep-pipelined default; it wins when the band exceeds LLC.
+  const char* algo = std::getenv("DLAF_CHASE_SCHED");
+  if (algo && std::strcmp(algo, "regions") == 0)
+    return hh_chase_regions(ab, n, b, V, R, nthreads, off,
+                            progress.data(), done_rows);
 
   // done_rows (optional, written with release semantics): V rows
   // [0, done_rows) are final — lets the caller overlap the host->device

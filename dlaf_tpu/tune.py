@@ -71,6 +71,14 @@ class TuneParameters:
     #: D&C merges whose Q block exceeds this run as separate donated jits
     #: (peak ~2 full matrices instead of ~4 inside one jit; 0 = never).
     dc_stage_bytes: int = _env("DLAF_DC_STAGE_BYTES", 1 << 30, int)
+    #: above this size the staged FULL merge runs the in-place lean
+    #: update (rotations + U gemm over row blocks in the donated buffer:
+    #: peak ~1 matrix + block transients, at the cost of rebuilding the
+    #: analytic U once per row block; 0 = never).
+    dc_lean_bytes: int = _env("DLAF_DC_LEAN_BYTES", 2 << 30, int)
+    #: row-block height of the lean update (smaller = less transient
+    #: memory, more U rebuild passes)
+    dc_lean_rowblock: int = _env("DLAF_DC_LEAN_ROWBLOCK", 4096, int)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)

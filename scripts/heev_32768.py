@@ -25,7 +25,11 @@ def main():
     from dlaf_tpu.tune import set_tune_parameters
 
     n, nb, band = 32768, 2048, 128
-    set_tune_parameters(trace_eigensolver_stages=True, bt_group_size=128)
+    # lean settings: every stage <= ~9.5 GB so the run survives heavy
+    # co-tenant HBM pressure on the shared worker (defaults peak ~10.5)
+    set_tune_parameters(trace_eigensolver_stages=True, bt_group_size=128,
+                        dc_stage_bytes=512 << 20, dc_lean_bytes=512 << 20,
+                        dc_lean_rowblock=2048)
 
     print(f"building input n={n} (device-side)", flush=True)
     a = mu.random_hermitian_device(n, np.float32, seed=11)
