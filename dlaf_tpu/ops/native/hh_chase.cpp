@@ -42,13 +42,42 @@ template <typename R> inline R real_(std::complex<R> x) { return x.real(); }
 template <typename T> inline typename RealOf<T>::type imag_(T) { return 0; }
 template <typename R> inline R imag_(std::complex<R> x) { return x.imag(); }
 
+// conj(a) . b with 16 independent accumulator lanes: the naive
+// single-accumulator loop cannot vectorize (FP reduction reassociation),
+// and these dots are ~40% of the chase flops.
+template <typename T>
+inline T cdot(const T* __restrict__ a, const T* __restrict__ b,
+              int64_t len) {
+  T acc[16] = {};
+  int64_t i = 0;
+  for (; i + 16 <= len; i += 16)
+    for (int k = 0; k < 16; ++k) acc[k] += conj_(a[i + k]) * b[i + k];
+  T s = T(0);
+  for (int k = 0; k < 16; ++k) s += acc[k];
+  for (; i < len; ++i) s += conj_(a[i]) * b[i];
+  return s;
+}
+
+template <typename T>
+inline typename RealOf<T>::type norm2v(const T* __restrict__ x,
+                                       int64_t len) {
+  using R = typename RealOf<T>::type;
+  R acc[16] = {};
+  int64_t i = 0;
+  for (; i + 16 <= len; i += 16)
+    for (int k = 0; k < 16; ++k) acc[k] += abs2(x[i + k]);
+  R s = R(0);
+  for (int k = 0; k < 16; ++k) s += acc[k];
+  for (; i < len; ++i) s += abs2(x[i]);
+  return s;
+}
+
 // LAPACK larfg: H = I - tau v v^H, v[0] = 1, H^H x = beta e1 (beta real).
 // x (length l) is overwritten with v[1:] in x[1:]; returns tau; beta -> x[0].
 template <typename T>
 inline T larfg(int64_t l, T* x) {
   using R = typename RealOf<T>::type;
-  R xnorm2 = 0;
-  for (int64_t i = 1; i < l; ++i) xnorm2 += abs2(x[i]);
+  R xnorm2 = norm2v(x + 1, l - 1);
   T alpha = x[0];
   if (xnorm2 == R(0) && imag_(alpha) == R(0)) {
     x[0] = alpha;
@@ -82,10 +111,7 @@ inline int64_t chase_step(T* ab, int64_t ld, int64_t n, int64_t b, int64_t j,
     const T vc = v[c];
     T* __restrict__ wc = w + c;
     for (int64_t i = 1; i < l - c; ++i) wc[i] += col[i] * vc;
-    T acc = col[0] * vc;               // diagonal
-    const T* __restrict__ vcp = v + c;
-    for (int64_t i = 1; i < l - c; ++i) acc += conj_(col[i]) * vcp[i];
-    w[c] += acc;
+    w[c] += col[0] * vc + cdot(col + 1, v + c + 1, l - c - 1);
   }
   // w = tau*Dv - (tau/2)(w^H v) v  with w currently = D v
   T whv = T(0);
@@ -134,9 +160,7 @@ inline int64_t chase_step(T* ab, int64_t ld, int64_t n, int64_t b, int64_t j,
     T ct = conj_(tau);
     for (int64_t c = 1; c < l; ++c) {
       T* col = ab + (j + c) * ld + (l - c);
-      T z = T(0);
-      for (int64_t r = 0; r < m; ++r) z += conj_(v[r]) * col[r];
-      z *= ct;
+      T z = ct * cdot(v, col, m);
       for (int64_t r = 0; r < m; ++r) col[r] -= v[r] * z;
     }
   }
