@@ -253,10 +253,18 @@ def _panel_loop(NAT, taus_all, n, b, G, constrain):
     dtype = NAT.dtype
     n_panels = max(_cdiv(n, b) - 1, 0)
 
-    # the panel QR runs at ONE fixed shape across all buckets: the geqrf
-    # lowering is the expensive-to-compile op, and zero pad rows produce
-    # zero reflector rows, so results are identical
-    PH = max(_cdiv(n - b, G) * G, b)
+    # the panel QR runs at power-of-two heights (zero pad rows produce
+    # zero reflector rows, so results are identical): geqrf is the
+    # expensive-to-compile op and powers of two are its fast-compile
+    # shapes, so this costs ~log2(n/b) compiles instead of one while
+    # halving the average QR work vs a single full-height shape
+    PH_max = max(_cdiv(n - b, G) * G, b)
+
+    def _ph_for(pmp):
+        ph = b
+        while ph < pmp:
+            ph *= 2
+        return min(ph, max(PH_max, b))
 
     # Above this trailing-block byte size the two-sided update streams over
     # [pmp, G] column chunks instead of materializing the full [pmp, pmp]
@@ -266,7 +274,7 @@ def _panel_loop(NAT, taus_all, n, b, G, constrain):
     from ...tune import get_tune_parameters
     chunk_bytes = get_tune_parameters().r2b_chunk_bytes
 
-    def body(k, carry, pmp):
+    def body(k, carry, pmp, PH):
         NAT, taus_all = carry
         j0 = k * b
         c0 = j0 + b
@@ -342,7 +350,9 @@ def _panel_loop(NAT, taus_all, n, b, G, constrain):
         k1 = k0
         while k1 < n_panels and max(_cdiv(n - (k1 + 1) * b, G) * G, b) == pmp:
             k1 += 1
-        carry = lax.fori_loop(k0, k1, partial(body, pmp=pmp), carry)
+        carry = lax.fori_loop(k0, k1,
+                              partial(body, pmp=pmp, PH=_ph_for(pmp)),
+                              carry)
         k0 = k1
 
     return carry
