@@ -53,16 +53,55 @@ class DLAF_descriptor:
             raise ValueError("square blocks required")
 
 
-def dlaf_initialize(*_args) -> None:
-    """``dlaf_initialize`` — runtime startup is JAX's; records the state."""
+def dlaf_initialize(*argv_lists) -> None:
+    """``dlaf_initialize`` — runtime startup.
+
+    Mirrors the reference's ``dlaf::initialize(argc, argv)``
+    (``init.cpp``): applies ``--dlaf:key=value`` command-line overrides on
+    top of environment defaults into the tuning state, ensures the
+    persistent compile cache is installed, and (when the standard
+    ``JAX_COORDINATOR_ADDRESS``/``DLAF_NUM_PROCESSES`` variables are set
+    and multiple processes are requested) brings up the multi-process
+    runtime.  Accepts any number of argv-like string lists, matching the
+    reference's (pika argv, dlaf argv) pair; unknown options are ignored
+    like the reference's ``allow_unregistered``.
+    """
     global _initialized
+    if _initialized:
+        return
+    import os
+
+    from ..miniapp.options import apply_dlaf_args
+    for argv in argv_lists:
+        if argv and not isinstance(argv, (str, bytes)):
+            apply_dlaf_args([str(a) for a in argv], strict=False)
+
+    nproc = int(os.environ.get("DLAF_NUM_PROCESSES", "1") or 1)
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if nproc > 1 and coord:
+        import jax
+
+        if jax.process_count() == 1:
+            from ..parallel.multiprocess import initialize_multiprocess
+            initialize_multiprocess(
+                coordinator_address=coord, num_processes=nproc,
+                process_id=int(os.environ.get("DLAF_PROCESS_ID", "0")))
     _initialized = True
 
 
 def dlaf_finalize() -> None:
     global _initialized, _grids
+    if not _initialized and not _grids:
+        return
     _initialized = False
     _grids.clear()
+    import jax
+
+    if jax.process_count() > 1:  # pragma: no cover - multi-process only
+        try:
+            jax.distributed.shutdown()
+        except Exception:
+            pass
 
 
 def dlaf_create_grid(nprow: int, npcol: int, order: str = "R") -> int:

@@ -47,28 +47,39 @@ def make_parser(name: str, m_default=4096, nb_default=256) -> \
     return p
 
 
+def apply_dlaf_args(argv, strict: bool = True):
+    """Apply ``--dlaf:key=value`` entries to TuneParameters; returns the
+    remaining (non-dlaf) arguments.  ``strict=False`` skips unknown keys
+    (the reference's ``allow_unregistered`` init path)."""
+    rest = []
+    for arg in argv:
+        if not str(arg).startswith("--dlaf:"):
+            rest.append(arg)
+            continue
+        kv = str(arg)[len("--dlaf:"):]
+        if "=" not in kv:
+            if strict:
+                raise SystemExit(f"malformed tune flag {arg!r}")
+            continue
+        k, v = kv.split("=", 1)
+        cur = getattr(get_tune_parameters(), k, None)
+        if cur is None:
+            if strict:
+                raise SystemExit(f"unknown tune parameter {k!r}")
+            continue
+        cast = type(cur)
+        if cast is bool:
+            v = v.strip().upper() in ("1", "ON", "TRUE", "YES")
+        else:
+            v = cast(v)
+        set_tune_parameters(**{k: v})
+    return rest
+
+
 def parse_with_tune(parser: argparse.ArgumentParser, argv=None):
     """Parse args; ``--dlaf:key=value`` entries update TuneParameters."""
     argv = list(sys.argv[1:] if argv is None else argv)
-    rest = []
-    for arg in argv:
-        if arg.startswith("--dlaf:"):
-            kv = arg[len("--dlaf:"):]
-            if "=" not in kv:
-                raise SystemExit(f"malformed tune flag {arg!r}")
-            k, v = kv.split("=", 1)
-            cur = getattr(get_tune_parameters(), k, None)
-            if cur is None:
-                raise SystemExit(f"unknown tune parameter {k!r}")
-            cast = type(cur)
-            if cast is bool:
-                v = v.strip().upper() in ("1", "ON", "TRUE", "YES")
-            else:
-                v = cast(v)
-            set_tune_parameters(**{k: v})
-        else:
-            rest.append(arg)
-    return parser.parse_args(rest)
+    return parser.parse_args(apply_dlaf_args(argv))
 
 
 def build_grid(args):
