@@ -297,24 +297,34 @@ def _panel_loop(NAT, taus_all, n, b, G, constrain):
         VT = tile.dot(V, T)
         trail_bytes = pmp * pmp * jnp.zeros((), dtype).itemsize
         if chunk_bytes and trail_bytes > chunk_bytes and pmp % G == 0:
-            # Streamed over [pmp, G] column chunks so the full [pmp, pmp]
-            # trailing block is never materialized.  Statement order is
-            # load-bearing for XLA's in-place while-carry aliasing (else
-            # copy insertion double-buffers the whole workspace): ALL
-            # reads of NAT (yacc) come before ANY write, and the one-shot
-            # DUS writes (pout/rband) come before the write loop (upd).
-            nc = pmp // G
+            # Streamed over column chunks so the full [pmp, pmp] trailing
+            # block is never materialized.  Chunks are 4G wide (bigger
+            # gemms, ~3x the chunked-path rate) with a G-wide tail loop
+            # covering pmp % 4G.  Statement order is load-bearing for
+            # XLA's in-place while-carry aliasing (else copy insertion
+            # double-buffers the whole workspace): ALL reads of NAT
+            # (yacc) come before ANY write, and the one-shot DUS writes
+            # (pout/rband) come before the write loop (upd).
+            CW = 4 * G
+            nc4 = pmp // CW
+            ncg = (pmp - nc4 * CW) // G
 
-            def yacc(j, Yc):                        # Y = A V T, streamed
+            def yacc(j, Yc, cw, base):              # Y = A V T, streamed
                 # barrier: ties each chunk read to the previous partial
-                # sum, else the scheduler materializes many [pmp, G]
+                # sum, else the scheduler materializes many [pmp, cw]
                 # slices concurrently (measured: halves the sweep temps)
                 Yc, j2 = lax.optimization_barrier((Yc, j))
-                sl = lax.dynamic_slice(NAT, (c0, c0 + j2 * G), (pmp, G))
-                vt = lax.dynamic_slice(VT, (j2 * G, 0), (G, b))
+                sl = lax.dynamic_slice(NAT, (c0, c0 + base + j2 * cw),
+                                       (pmp, cw))
+                vt = lax.dynamic_slice(VT, (base + j2 * cw, 0), (cw, b))
                 return Yc + tile.dot(sl, vt)
 
-            Y = lax.fori_loop(0, nc, yacc, jnp.zeros((pmp, b), dtype))
+            Y = jnp.zeros((pmp, b), dtype)
+            if nc4:       # zero-trip loops still trace their (oversized)
+                Y = lax.fori_loop(0, nc4, partial(yacc, cw=CW, base=0), Y)
+            if ncg:       # slice shapes, so gate at the python level
+                Y = lax.fori_loop(0, ncg,
+                                  partial(yacc, cw=G, base=nc4 * CW), Y)
             S = tile.dot(tile.adj(VT), Y)            # T^H V^H A V T
             X = Y - 0.5 * tile.dot(V, S)
             Vh, Xh = tile.adj(V), tile.adj(X)
@@ -322,14 +332,21 @@ def _panel_loop(NAT, taus_all, n, b, G, constrain):
             NAT = lax.dynamic_update_slice(NAT, pout, (c0, j0))
             NAT = lax.dynamic_update_slice(NAT, tile.adj(rband), (j0, c0))
 
-            def upd(j, NATc):                        # rank-2b, one col chunk
-                vh = lax.dynamic_slice(Vh, (0, j * G), (b, G))
-                xh = lax.dynamic_slice(Xh, (0, j * G), (b, G))
-                cur = lax.dynamic_slice(NATc, (c0, c0 + j * G), (pmp, G))
+            def upd(j, NATc, cw, base):             # rank-2b, one col chunk
+                vh = lax.dynamic_slice(Vh, (0, base + j * cw), (b, cw))
+                xh = lax.dynamic_slice(Xh, (0, base + j * cw), (b, cw))
+                cur = lax.dynamic_slice(NATc, (c0, c0 + base + j * cw),
+                                        (pmp, cw))
                 new = cur - tile.dot(X, vh) - tile.dot(V, xh)
-                return lax.dynamic_update_slice(NATc, new, (c0, c0 + j * G))
+                return lax.dynamic_update_slice(NATc, new,
+                                                (c0, c0 + base + j * cw))
 
-            NAT = lax.fori_loop(0, nc, upd, NAT)
+            if nc4:
+                NAT = lax.fori_loop(0, nc4, partial(upd, cw=CW, base=0),
+                                    NAT)
+            if ncg:
+                NAT = lax.fori_loop(0, ncg,
+                                    partial(upd, cw=G, base=nc4 * CW), NAT)
         else:
             trail = lax.dynamic_slice(NAT, (c0, c0), (pmp, pmp))
             Y = tile.dot(trail, VT)                  # A V T
