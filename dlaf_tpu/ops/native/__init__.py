@@ -29,7 +29,10 @@ def _build() -> str | None:
     if os.path.exists(out) and all(
             os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs):
         return out
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+    # -mprefer-vector-width=512: gcc defaults to 256-bit vectors on
+    # avx512 parts; the chase's dot/axpy loops are 2x wider with zmm
+    cmd = ["g++", "-O3", "-march=native", "-mprefer-vector-width=512",
+           "-shared", "-fPIC", "-std=c++17",
            *srcs, "-o", out, "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)

@@ -42,18 +42,29 @@ template <typename R> inline R real_(std::complex<R> x) { return x.real(); }
 template <typename T> inline typename RealOf<T>::type imag_(T) { return 0; }
 template <typename R> inline R imag_(std::complex<R> x) { return x.imag(); }
 
-// conj(a) . b with 16 independent accumulator lanes: the naive
+// conj(a) . b with 4x16 independent accumulator lanes: the naive
 // single-accumulator loop cannot vectorize (FP reduction reassociation),
-// and these dots are ~40% of the chase flops.
+// and a single 16-lane accumulator leaves the FMA units latency-bound
+// (one zmm in flight, ~4-cycle dependency chain); these dots are ~40%
+// of the chase flops.
 template <typename T>
 inline T cdot(const T* __restrict__ a, const T* __restrict__ b,
               int64_t len) {
-  T acc[16] = {};
+  T a0[16] = {}, a1[16] = {}, a2[16] = {}, a3[16] = {};
   int64_t i = 0;
+  for (; i + 64 <= len; i += 64) {
+    for (int k = 0; k < 16; ++k) a0[k] += conj_(a[i + k]) * b[i + k];
+    for (int k = 0; k < 16; ++k)
+      a1[k] += conj_(a[i + 16 + k]) * b[i + 16 + k];
+    for (int k = 0; k < 16; ++k)
+      a2[k] += conj_(a[i + 32 + k]) * b[i + 32 + k];
+    for (int k = 0; k < 16; ++k)
+      a3[k] += conj_(a[i + 48 + k]) * b[i + 48 + k];
+  }
   for (; i + 16 <= len; i += 16)
-    for (int k = 0; k < 16; ++k) acc[k] += conj_(a[i + k]) * b[i + k];
+    for (int k = 0; k < 16; ++k) a0[k] += conj_(a[i + k]) * b[i + k];
   T s = T(0);
-  for (int k = 0; k < 16; ++k) s += acc[k];
+  for (int k = 0; k < 16; ++k) s += (a0[k] + a1[k]) + (a2[k] + a3[k]);
   for (; i < len; ++i) s += conj_(a[i]) * b[i];
   return s;
 }
@@ -62,12 +73,16 @@ template <typename T>
 inline typename RealOf<T>::type norm2v(const T* __restrict__ x,
                                        int64_t len) {
   using R = typename RealOf<T>::type;
-  R acc[16] = {};
+  R a0[16] = {}, a1[16] = {};
   int64_t i = 0;
+  for (; i + 32 <= len; i += 32) {
+    for (int k = 0; k < 16; ++k) a0[k] += abs2(x[i + k]);
+    for (int k = 0; k < 16; ++k) a1[k] += abs2(x[i + 16 + k]);
+  }
   for (; i + 16 <= len; i += 16)
-    for (int k = 0; k < 16; ++k) acc[k] += abs2(x[i + k]);
+    for (int k = 0; k < 16; ++k) a0[k] += abs2(x[i + k]);
   R s = R(0);
-  for (int k = 0; k < 16; ++k) s += acc[k];
+  for (int k = 0; k < 16; ++k) s += a0[k] + a1[k];
   for (; i < len; ++i) s += abs2(x[i]);
   return s;
 }
