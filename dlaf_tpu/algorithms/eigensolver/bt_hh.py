@@ -159,6 +159,8 @@ def bt_hh_apply(res: HHChaseResult, E, e_sharding=None,
     and the padded result feeds ``bt_reduction_to_band`` directly.
     """
     n, b = res.n, res.band
+    if stream is None:
+        res.resolve_V()         # join a pending background upload
     E = jnp.asarray(E)
     squeeze = E.ndim == 1
     if squeeze:
@@ -175,7 +177,11 @@ def bt_hh_apply(res: HHChaseResult, E, e_sharding=None,
                     (stream.ndim == 2 and stream.shape[1] == b),
                     "reflector stream width != band", shape=stream.shape,
                     band=b)
-    R = res.V.shape[0]
+    if res.V is not None:
+        R = res.V.shape[0]
+    else:                       # pending async upload, stream provided
+        from .hh_chase import hh_schedule
+        R = hh_schedule(n, b)[1]
     if R == 0 or n <= 2 or b <= 1:
         E = E[:n] if not keep_pad else E
         return E[:, 0] if squeeze else E
@@ -214,11 +220,15 @@ def bt_hh_pad_rows(n: int, b: int, g: int | None = None) -> int:
 def bt_hh_window_stream(res: HHChaseResult, g: int | None = None):
     """Window-ordered reflector stream [Nw, g, b] (donates ``res.V``).
 
-    Run this *before* the D&C stage: the gather briefly holds the stream
-    twice, which is cheap then but pushes the peak over budget if it
-    happens inside the BT scan while two full matrices are live.
+    Run this *before* the D&C stage when the stream is already on
+    device (the gather briefly holds the stream twice, which is cheap
+    then but pushes the peak over budget if it happens inside the BT
+    scan while two full matrices are live) — or *after* D&C when the
+    upload drained behind it (``async_upload``; the transient then
+    coexists with one full matrix, same peak either way).
     """
     n, b = res.n, res.band
+    res.resolve_V()
     if res.V.shape[0] == 0 or n <= 2 or b <= 1:
         return res.V
     if g is None:

@@ -135,24 +135,35 @@ def hermitian_eigensolver(
             from .hh_chase_mp import hh_band_to_tridiagonal_mp
             res = hh_band_to_tridiagonal_mp(ab, band)
         else:
-            # stream the reflector upload during the chase: on the
-            # tunneled TPU the ~n^2/2-value host->device copy costs more
-            # than the chase; overlapping hides it behind chase + D&C
-            res = hh_band_to_tridiagonal(ab, band, device_stream=True)
+            # stream the reflector upload during the chase and let it
+            # keep draining in the background: on the tunneled TPU the
+            # ~n^2/2-value host->device copy costs ~3x the chase itself,
+            # so the tail hides behind the (device-bound) D&C stage and
+            # is joined only when the back-transform needs the stream
+            res = hh_band_to_tridiagonal(ab, band, device_stream=True,
+                                         async_upload=True)
     else:
         res = band_to_tridiagonal(ab, band)
     mark("band_to_tridiag (host chase)")
 
     streamw = None
     row_pad = 0
-    if use_hh and res.V.shape[0] > 0 and n > 2 and band > 1:
-        # window-order the reflector stream NOW (it briefly exists twice)
-        # and have D&C allocate the BT scan's zero pad rows up front —
-        # both are cheap before D&C holds two full matrices, and they
-        # remove every full-matrix copy from the BT path
+    want_bt_stream = False
+    if use_hh and n > 2 and band > 1:
+        from .hh_chase import hh_schedule
+        want_bt_stream = hh_schedule(n, band)[1] > 0
+    if want_bt_stream:
+        # have D&C allocate the BT scan's zero pad rows up front, and
+        # window-order the reflector stream outside the BT scan — both
+        # remove every full-matrix copy from the BT path.  The window
+        # gather runs NOW if the stream is fully on device (its 2x
+        # transient is cheap before D&C holds two full matrices); with
+        # a pending async upload it runs after D&C instead (the join
+        # point), where the transient coexists with one matrix only.
         from .bt_hh import bt_hh_pad_rows, bt_hh_window_stream
-        streamw = bt_hh_window_stream(res)
         row_pad = bt_hh_pad_rows(n, band)
+        if res.v_resolve is None:
+            streamw = bt_hh_window_stream(res)
 
     lam, z = tridiagonal_eigensolver(jnp.asarray(res.d, rdtype),
                                      jnp.asarray(res.e, rdtype),
@@ -164,6 +175,11 @@ def hermitian_eigensolver(
         z = z[:, :n_ev]
     mark("tridiag D&C", z)
 
+    if want_bt_stream and streamw is None:
+        # join the background upload (drained behind D&C) + window-order
+        from .bt_hh import bt_hh_window_stream
+        streamw = bt_hh_window_stream(res)
+        mark("reflector upload join")
     if use_hh:
         # z and the reflector stream are dead after this transform
         e2 = bt_hh_apply(res, z, e_sharding=col_shard, donate=True,

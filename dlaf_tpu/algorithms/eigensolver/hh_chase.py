@@ -113,6 +113,17 @@ class HHChaseResult:
     #: back-transform computes E <- Q (D E), i.e. scales row j by phases[j]
     #: before the reflector stream.  None for real input (e stays signed).
     phases: np.ndarray | None = None
+    #: async upload pending: call :meth:`resolve_V` before using ``V``
+    #: (``V`` is None until then; the upload drains behind the D&C stage)
+    v_resolve: object | None = None
+
+    def resolve_V(self):
+        """Join a pending background reflector-stream upload (no-op if
+        the stream is already materialized)."""
+        if self.v_resolve is not None:
+            self.V = self.v_resolve()
+            self.v_resolve = None
+        return self.V
 
 
 def hh_chase_numpy(ab2: np.ndarray, n: int, b: int) -> np.ndarray:
@@ -185,15 +196,34 @@ def hh_chase_numpy(ab2: np.ndarray, n: int, b: int) -> np.ndarray:
     return V
 
 
-def _hh_chase_native(ab2: np.ndarray, n: int, b: int, chunk_cb=None):
+class _PumpHandle:
+    """Background reflector-stream upload; ``join()`` waits for the last
+    chunk to be handed to the device."""
+
+    def __init__(self, thread):
+        self._t = thread
+
+    def join(self):
+        self._t.join()
+
+
+def _hh_chase_native(ab2: np.ndarray, n: int, b: int, chunk_cb=None,
+                     detach_pump: bool = False):
     """Dispatch to the C++ kernel; None -> numpy fallback.
 
-    ``chunk_cb(rows)``: optional — called from this thread with
-    consecutive finished slices ``V[r0:r1]`` *while the chase still
-    runs* (the ``_p`` kernel publishes a completed-row prefix), so the
-    caller can overlap the host->device upload of the reflector stream
-    with the remaining host compute.  The slices are final: the kernel
-    release-stores the prefix after the rows are written.
+    ``chunk_cb(rows)``: optional — called with consecutive finished
+    slices ``V[r0:r1]`` *while the chase still runs* (the ``_p`` kernel
+    publishes a completed-row prefix), so the caller can overlap the
+    host->device upload of the reflector stream with the remaining host
+    compute.  The slices are final: the kernel release-stores the
+    prefix after the rows are written.
+
+    ``detach_pump=True``: return as soon as the *chase compute* is done
+    (``ab2`` final), leaving the chunk pump running in a daemon thread;
+    returns a :class:`_PumpHandle` instead of ``V``.  On the tunneled
+    TPU the stream upload (~n^2/2 values at ~30 MB/s) outlasts the
+    chase itself, so the caller lets it drain behind the following
+    (device-bound) D&C stage and joins just before the back-transform.
     """
     import ctypes
 
@@ -234,28 +264,42 @@ def _hh_chase_native(ab2: np.ndarray, n: int, b: int, chunk_cb=None):
         # ~32 MB chunks: big enough to amortize dispatch, small enough
         # that the wire stays busy from early in the chase
         chunk = max(1, (32 << 20) // max(V.strides[0], 1))
-        sent = 0
-        while True:
-            alive = th.is_alive()
+
+        def pump():
+            sent = 0
+            while True:
+                alive = th.is_alive()
+                avail = int(done[0])
+                # publish whole multiples of `chunk` rows so the
+                # consumer's upload path sees ONE fixed shape (a jitted
+                # device accumulator would retrace per chunk height)
+                while avail - sent >= chunk:
+                    chunk_cb(V[sent:sent + chunk])
+                    sent += chunk
+                if not alive:
+                    break
+                _time.sleep(0.01)
+            if rc_box[0] != 0:
+                return
             avail = int(done[0])
-            # publish whole multiples of `chunk` rows so the consumer's
-            # upload path sees ONE fixed shape (a jitted device
-            # accumulator would retrace per distinct chunk height)
             while avail - sent >= chunk:
                 chunk_cb(V[sent:sent + chunk])
                 sent += chunk
-            if not alive:
-                break
-            _time.sleep(0.01)
+            if sent < R:
+                chunk_cb(V[sent:R])     # one odd-shaped tail
+
+        if detach_pump:
+            pth = threading.Thread(target=pump, daemon=True)
+            pth.start()
+            th.join()                   # chase compute done, ab final
+            if rc_box[0] != 0:
+                return None
+            ab2[...] = abf
+            return _PumpHandle(pth)
+        pump()
         th.join()
         if rc_box[0] != 0:
             return None
-        avail = int(done[0])
-        while avail - sent >= chunk:
-            chunk_cb(V[sent:sent + chunk])
-            sent += chunk
-        if sent < R:
-            chunk_cb(V[sent:R])         # one odd-shaped tail
     else:
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
@@ -287,7 +331,8 @@ def _dus_donated(buf, rows, r0):
 
 def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
                            force_numpy: bool = False,
-                           device_stream: bool = False) -> HHChaseResult:
+                           device_stream: bool = False,
+                           async_upload: bool = False) -> HHChaseResult:
     """Reduce lower-banded storage ``ab[(band+1), n]`` to real tridiagonal
     via Householder bulge chasing.
 
@@ -305,6 +350,12 @@ def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
     async dispatch continuing through the following D&C stage) hides
     most of it.  Complex dtypes stay on host (the axon plugin cannot
     device_put complex64).
+
+    ``async_upload=True`` (with ``device_stream``): return as soon as the
+    chase compute finishes, with the upload still draining in a daemon
+    thread — ``result.V`` is None until ``result.resolve_V()`` joins it.
+    The eigensolver driver resolves after the D&C stage, hiding the
+    upload tail behind ~30 s of device-bound work at n = 32768.
     """
     bp1, n = ab.shape
     if bp1 != band + 1:
@@ -336,12 +387,21 @@ def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
 
     ab2 = np.zeros((2 * band + 1, n), dtype)
     ab2[: band + 1] = ab
+    v_resolve = None
     if n > 2 and band > 1:
-        V = None if force_numpy else _hh_chase_native(ab2, n, band,
-                                                      chunk_cb=cb)
+        V = None if force_numpy else _hh_chase_native(
+            ab2, n, band, chunk_cb=cb,
+            detach_pump=stream_ok and async_upload)
         if V is None:
             state["buf"] = None         # discard any partial upload
             V = hh_chase_numpy(ab2, n, band)
+        elif isinstance(V, _PumpHandle):
+            handle = V
+            V = None
+
+            def v_resolve(handle=handle, state=state):
+                handle.join()
+                return state["buf"]
         elif state["buf"] is not None:
             V = state["buf"]
         elif stream_ok:
@@ -364,4 +424,4 @@ def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
             phases[j + 1] = phases[j] * ph
             e_c[j] = mag
     e = np.asarray(e_c.real, np.float64)
-    return HHChaseResult(d, e, V, n, band, phases)
+    return HHChaseResult(d, e, V, n, band, phases, v_resolve)

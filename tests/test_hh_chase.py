@@ -159,3 +159,21 @@ def test_device_stream_matches_host(n, b):
     assert np.array_equal(np.asarray(res.V), np.asarray(ref.V))
     assert np.array_equal(res.d, ref.d)
     assert np.array_equal(res.e, ref.e)
+
+
+@pytest.mark.parametrize("n,b", [(300, 8), (64, 8)])
+def test_async_upload_matches_host(n, b):
+    """async_upload returns before the upload drains (V pending) and the
+    resolved stream is identical to the synchronous one."""
+    _, ab = band_full(n, b, np.float32, seed=3)
+    ref = hh_band_to_tridiagonal(ab.copy(), b)
+    res = hh_band_to_tridiagonal(ab.copy(), b, device_stream=True,
+                                 async_upload=True)
+    # d/e are final at return even while the upload may still drain
+    assert np.array_equal(res.d, ref.d)
+    assert np.array_equal(res.e, ref.e)
+    assert res.v_resolve is not None and res.V is None
+    res.resolve_V()
+    assert res.v_resolve is None
+    assert np.array_equal(np.asarray(res.V), np.asarray(ref.V))
+    res.resolve_V()                     # idempotent
