@@ -118,17 +118,34 @@ def hermitian_eigensolver(
     if donate_input:
         a = None          # buffer donated into the reduction jit
     mark("reduction_to_band", mat_hh.data)
-    ab = np.asarray(extract_band(mat_hh, band))
+    import jax
+    b2t_algo = tp.band_to_tridiag_algo
+    use_wavefront = (b2t_algo == "wavefront"
+                     and not np.issubdtype(np.dtype(adtype),
+                                           np.complexfloating)
+                     and jax.process_count() == 1 and n > 2 and band > 1)
+    if use_wavefront:
+        ab = extract_band(mat_hh, band)     # stays on device
+    else:
+        ab = np.asarray(extract_band(mat_hh, band))
     mark("extract_band")
-    use_hh = tp.band_to_tridiag_algo != "givens"
+    use_hh = b2t_algo != "givens"
     if use_hh and col_shard is None:
         # mat_hh's band + mirror are dead weight from here on: keep only
         # the packed V panels (~n^2/2 values) through the BT stages
         from .bt_reduction_to_band import pack_hh_panels
         mat_hh = pack_hh_panels(mat_hh, band, donate=True)
         mark("pack_hh_panels")
-    if use_hh:
-        import jax
+    if use_wavefront:
+        # device-resident chase: no band download, no host compute, no
+        # reflector-stream upload (wavefront_chase.py).  Opt-in
+        # (DLAF_B2T_ALGO=wavefront): wins below ~n=16384 and removes the
+        # tunnel wire from the critical path; the host pipeline scales
+        # better at the largest sizes.
+        from .wavefront_chase import wavefront_band_to_tridiagonal
+        res = wavefront_band_to_tridiagonal(ab, band)
+        mark("band_to_tridiag (wavefront, on device)")
+    elif use_hh:
         if jax.process_count() > 1:
             # rank-pipelined chase: each process chases only its owned
             # column regions (reference SweepWorkerDist, mc.h:569)
@@ -144,7 +161,8 @@ def hermitian_eigensolver(
                                          async_upload=True)
     else:
         res = band_to_tridiagonal(ab, band)
-    mark("band_to_tridiag (host chase)")
+    if not use_wavefront:
+        mark("band_to_tridiag (host chase)")
 
     streamw = None
     row_pad = 0

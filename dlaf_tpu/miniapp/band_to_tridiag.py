@@ -31,7 +31,12 @@ def main(argv=None):
         return {"ab": ab}
 
     def alg(ab):
-        if get_tune_parameters().band_to_tridiag_algo != "givens":
+        algo = get_tune_parameters().band_to_tridiag_algo
+        if algo == "wavefront" and not np.iscomplexobj(ab):
+            from ..algorithms.eigensolver.wavefront_chase import (
+                wavefront_band_to_tridiagonal)
+            return wavefront_band_to_tridiagonal(ab, band)
+        if algo != "givens":
             return hh_band_to_tridiagonal(ab.copy(), band)
         return band_to_tridiagonal(ab.copy(), band)
 
