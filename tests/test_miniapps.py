@@ -61,6 +61,35 @@ def test_miniapp_redistribution(capsys):
     assert "GB/s" in capsys.readouterr().out
 
 
+def test_check_fails_on_perturbed_result(capsys, monkeypatch):
+    """A deliberately wrong result must FAIL the type-scaled check (the
+    reference's check_cholesky-style norm-ratio bound, not a fixed 1e-1
+    threshold): perturb the Cholesky factor and expect rc=1 + FAILED."""
+    import dlaf_tpu
+    from dlaf_tpu.miniapp import cholesky as mc
+
+    real = dlaf_tpu.cholesky_factorization
+
+    def perturbed(a, *args, **kw):
+        out = real(a, *args, **kw)
+        data = out.data.at[0, 0].add(np.asarray(1e-2, out.dtype))
+        return out.with_data(data)
+
+    # the miniapp resolves the symbol from the package at call time
+    monkeypatch.setattr(dlaf_tpu, "cholesky_factorization", perturbed)
+    assert mc.main(COMMON) == 1
+    out = capsys.readouterr().out
+    assert "FAILED" in out
+
+
+def test_check_tolerance_type_scaled():
+    from dlaf_tpu.miniapp.runner import check_tolerance
+    t32 = check_tolerance(np.float32, 1024)
+    t64 = check_tolerance(np.float64, 1024)
+    assert t64 < t32 < 1e-3          # far stricter than the old 1e-1
+    assert check_tolerance(np.complex64, 1024) == t32
+
+
 def test_tune_flag_plumbing(capsys):
     """--dlaf:key=value reaches TuneParameters (reference --dlaf: flags)."""
     from dlaf_tpu.tune import get_tune_parameters
