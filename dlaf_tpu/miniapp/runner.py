@@ -34,13 +34,32 @@ def run(name, args, make_input, run_alg, flops_fn, check_fn=None):
                 args.check == "all" or
                 (args.check == "last" and r == args.nruns - 1)):
             resid = check_fn(state, run_alg(state))
-            tol = check_tolerance(dtype, args.matrix_size)
+            tol = check_tolerance(_effective_dtype(dtype),
+                                  args.matrix_size)
             ok = resid == resid and resid < tol
             status = "PASSED" if ok else "FAILED"
             print(f"check: residual {resid:.3e} (tol {tol:.1e}) [{status}]")
             if not ok:
                 return 1
     return 0
+
+
+def _effective_dtype(dtype):
+    """The dtype the device actually computes in.
+
+    Without ``jax_enable_x64`` JAX silently downcasts f64/c128 inputs to
+    f32/c64 (the default on the TPU path; tests enable x64 on the CPU
+    mesh), so the residual check must use the tolerance of the dtype the
+    arithmetic really ran at — checking f32 arithmetic against an f64
+    bound is a guaranteed spurious FAIL."""
+    if jax.config.jax_enable_x64:
+        return dtype
+    d = np.dtype(dtype)
+    if d == np.float64:
+        return np.float32
+    if d == np.complex128:
+        return np.complex64
+    return dtype
 
 
 def check_tolerance(dtype, n: int) -> float:
