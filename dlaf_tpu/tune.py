@@ -59,9 +59,11 @@ class TuneParameters:
     #: the reference's ``bt_band_to_tridiag_hh_apply_group_size`` analogue.
     #: For the "hh" chase it is the number of sweeps per compact-WY window.
     bt_group_size: int = _env("DLAF_BT_GROUP_SIZE", 64, int)
-    #: band->tridiag algorithm: "hh" (Householder chase + compact-WY MXU
-    #: back-transform, the reference's SweepWorker formulation) or "givens"
-    #: (rotation chase + wave back-transform).
+    #: band->tridiag algorithm: "hh" (host Householder chase + compact-WY
+    #: MXU back-transform, the reference's SweepWorker formulation),
+    #: "wavefront" (the chase itself on the TPU as one lax.scan —
+    #: wavefront_chase.py; real dtypes, single process; falls back to
+    #: "hh" otherwise), or "givens" (rotation chase + wave back-transform).
     band_to_tridiag_algo: str = _env("DLAF_B2T_ALGO", "hh", str)
     #: reduction-to-band trailing blocks larger than this stream the
     #: two-sided update over column chunks instead of materializing the
