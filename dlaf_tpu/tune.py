@@ -85,9 +85,12 @@ class TuneParameters:
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)
     #: maximum auto-chosen band size: the host chase costs O(n^2 b), so
-    #: huge blocks must not drag the band with them (nb=2048 would give
-    #: band 1024; measured best ~128-512).  Explicit band_size overrides.
-    eigensolver_max_band: int = _env("DLAF_EIGENSOLVER_MAX_BAND", 512, int)
+    #: huge blocks must not drag the band with them.  128 wins at every
+    #: measured size (HEEV n=8192: 5.7 s at band 128 vs 15.5 s at 512;
+    #: n=32768 tuned at 128) — the reflector-stream bytes are
+    #: band-independent, so a smaller band only cuts chase cost.
+    #: Explicit band_size overrides.
+    eigensolver_max_band: int = _env("DLAF_EIGENSOLVER_MAX_BAND", 128, int)
     #: band size divisor: band = max(block / divisor, min_band)
     #: (reference ``internal/get_band_size.h``).
     band_size_divisor: int = _env("DLAF_BAND_SIZE_DIVISOR", 2, int)
