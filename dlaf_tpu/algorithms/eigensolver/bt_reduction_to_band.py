@@ -151,37 +151,71 @@ def _bt_r2b_inplace_packed(E, P, taus, band_size: int, n: int):
     nfull, tail = nc // Cc, nc % Cc
 
     for (k_lo, k_hi, pmp, base) in buckets:
-        def body(i, E, k_lo=k_lo, k_hi=k_hi, pmp=pmp, base=base):
-            k = k_hi - 1 - i
+        def vframe(k, cs2, H, pmp=pmp, base=base, k_lo=k_lo):
+            """Packed panel ``k``'s reflector block embedded in the
+            ``[H, b]`` frame whose row 0 is matrix row ``cs2``."""
             c0 = (k + 1) * b
-            cs = jnp.minimum(jnp.int32(c0), jnp.int32(n - pmp))
-            shift = jnp.int32(c0) - cs
+            cs_k = jnp.minimum(jnp.int32(c0), jnp.int32(n - pmp))
             pan = lax.dynamic_slice(P, (base + (k - k_lo) * pmp, 0),
                                     (pmp, b))
-            rows = lax.broadcasted_iota(jnp.int32, (pmp, b), 0)
-            cols = lax.broadcasted_iota(jnp.int32, (pmp, b), 1)
+            buf = jnp.zeros((H, b), dtype)
+            buf = lax.dynamic_update_slice(buf, pan,
+                                           (cs_k - cs2, jnp.int32(0)))
+            rows = lax.broadcasted_iota(jnp.int32, (H, b), 0)
+            cols = lax.broadcasted_iota(jnp.int32, (H, b), 1)
             tk = jnp.take(taus, k, axis=0)
-            V = jnp.where(rows > cols + shift, pan, jnp.zeros_like(pan))
-            unit = jnp.where((rows == cols + shift) & (tk[None, :] != 0),
-                             jnp.ones_like(V), jnp.zeros_like(V))
-            V = V + unit
-            T = t_factor(V, tk)
-            Vh = tile.adj(V)
+            shift = jnp.int32(c0) - cs2
+            V = jnp.where(rows > cols + shift, buf, jnp.zeros_like(buf))
+            V = V + jnp.where((rows == cols + shift) & (tk[None, :] != 0),
+                              jnp.ones_like(V), jnp.zeros_like(V))
+            return V, tk
+
+        def apply_wy(E, W, T, cs2, H):
+            Wh = tile.adj(W)
 
             def col_chunk(j, E, cw):
                 cc0 = j * Cc if cw == Cc else nfull * Cc
-                Es = lax.dynamic_slice(E, (cs, jnp.int32(cc0)), (pmp, cw))
-                W = tile.dot(Vh, Es)
-                Es = Es - tile.dot(V, tile.dot(T, W))
+                Es = lax.dynamic_slice(E, (cs2, jnp.int32(cc0)), (H, cw))
+                X = tile.dot(Wh, Es)
+                Es = Es - tile.dot(W, tile.dot(T, X))
                 return lax.dynamic_update_slice(E, Es,
-                                                (cs, jnp.int32(cc0)))
+                                                (cs2, jnp.int32(cc0)))
 
             E = lax.fori_loop(0, nfull, partial(col_chunk, cw=Cc), E)
             if tail:
                 E = col_chunk(0, E, tail)
             return E
 
-        E = lax.fori_loop(0, k_hi - k_lo, body, E)
+        def body(i, E, k_hi=k_hi, pmp=pmp):
+            k = k_hi - 1 - i
+            c0 = (k + 1) * b
+            cs = jnp.minimum(jnp.int32(c0), jnp.int32(n - pmp))
+            V, tk = vframe(k, cs, pmp)
+            return apply_wy(E, V, t_factor(V, tk), cs, pmp)
+
+        def pair_body(i, E, k_hi=k_hi, pmp=pmp):
+            # aggregate panels (k, k-1) into one 2b-wide compact-WY
+            # block: Q_{k-1} Q_k = I - W T2 W^H with W = [V_{k-1} | V_k]
+            # (t_factor's identity holds for any ordered reflector
+            # sequence) — the outer update gemm runs at contraction
+            # depth 2b instead of b, ~3x the MXU rate, and the panel
+            # loop halves.
+            k = k_hi - 1 - 2 * i           # applied first
+            H = pmp + b
+            cs2 = jnp.minimum(jnp.int32(k * b), jnp.int32(n - H))
+            Vk, tk = vframe(k, cs2, H)
+            Vm, tm = vframe(k - 1, cs2, H)
+            W = jnp.concatenate([Vm, Vk], axis=1)
+            T2 = t_factor(W, jnp.concatenate([tm, tk]))
+            return apply_wy(E, W, T2, cs2, H)
+
+        cnt = k_hi - k_lo
+        if pmp + b <= n and cnt > 1:
+            E = lax.fori_loop(0, cnt // 2, pair_body, E)
+            if cnt % 2:                    # k_lo, applied last
+                E = body(cnt - 1, E)
+        else:
+            E = lax.fori_loop(0, cnt, body, E)
     return E
 
 
