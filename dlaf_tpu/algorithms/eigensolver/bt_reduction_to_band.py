@@ -193,27 +193,34 @@ def _bt_r2b_inplace_packed(E, P, taus, band_size: int, n: int):
             V, tk = vframe(k, cs, pmp)
             return apply_wy(E, V, t_factor(V, tk), cs, pmp)
 
-        def pair_body(i, E, k_hi=k_hi, pmp=pmp):
-            # aggregate panels (k, k-1) into one 2b-wide compact-WY
-            # block: Q_{k-1} Q_k = I - W T2 W^H with W = [V_{k-1} | V_k]
-            # (t_factor's identity holds for any ordered reflector
-            # sequence) — the outer update gemm runs at contraction
-            # depth 2b instead of b, ~3x the MXU rate, and the panel
-            # loop halves.
-            k = k_hi - 1 - 2 * i           # applied first
-            H = pmp + b
-            cs2 = jnp.minimum(jnp.int32(k * b), jnp.int32(n - H))
-            Vk, tk = vframe(k, cs2, H)
-            Vm, tm = vframe(k - 1, cs2, H)
-            W = jnp.concatenate([Vm, Vk], axis=1)
-            T2 = t_factor(W, jnp.concatenate([tm, tk]))
-            return apply_wy(E, W, T2, cs2, H)
+        def group_body(i, E, g, k_top, pmp=pmp):
+            # aggregate g consecutive panels into one g*b-wide compact-WY
+            # block: Q_{kl} ... Q_{kl+g-1} = I - W T W^H with
+            # W = [V_{kl} | ... | V_{kl+g-1}] (t_factor's identity holds
+            # for any ordered reflector sequence) — the outer update
+            # gemm runs at contraction depth g*b instead of b (~3x the
+            # MXU rate already at 2b) and the panel loop shrinks g-fold.
+            kl = k_top - g * i - (g - 1)   # lowest k; applied last
+            H = pmp + (g - 1) * b
+            cs2 = jnp.minimum(jnp.int32((kl + 1) * b), jnp.int32(n - H))
+            Vs, ts = zip(*[vframe(kl + j, cs2, H) for j in range(g)])
+            W = jnp.concatenate(Vs, axis=1)
+            T = t_factor(W, jnp.concatenate(ts))
+            return apply_wy(E, W, T, cs2, H)
 
         cnt = k_hi - k_lo
-        if pmp + b <= n and cnt > 1:
-            E = lax.fori_loop(0, cnt // 2, pair_body, E)
-            if cnt % 2:                    # k_lo, applied last
-                E = body(cnt - 1, E)
+        g = 4
+        while g > 1 and (pmp + (g - 1) * b > n or cnt < g):
+            g -= 1
+        if g > 1:
+            E = lax.fori_loop(0, cnt // g,
+                              partial(group_body, g=g, k_top=k_hi - 1), E)
+            rem = cnt % g
+            if rem > 1 and pmp + (rem - 1) * b <= n:
+                E = group_body(0, E, g=rem, k_top=k_lo + rem - 1)
+            elif rem:                      # singles, applied last
+                for i in range(cnt - rem, cnt):
+                    E = body(i, E)
         else:
             E = lax.fori_loop(0, cnt, body, E)
     return E
