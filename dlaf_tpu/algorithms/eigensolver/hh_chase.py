@@ -198,13 +198,19 @@ def hh_chase_numpy(ab2: np.ndarray, n: int, b: int) -> np.ndarray:
 
 class _PumpHandle:
     """Background reflector-stream upload; ``join()`` waits for the last
-    chunk to be handed to the device."""
+    chunk to be handed to the device and re-raises any exception the
+    pump thread hit (a silently-dead daemon pump would otherwise leave
+    zero rows — tau=0 identity reflectors — and corrupt the
+    back-transform without any error)."""
 
-    def __init__(self, thread):
+    def __init__(self, thread, exc_box):
         self._t = thread
+        self._exc = exc_box
 
     def join(self):
         self._t.join()
+        if self._exc[0] is not None:
+            raise self._exc[0]
 
 
 def _hh_chase_native(ab2: np.ndarray, n: int, b: int, chunk_cb=None,
@@ -264,40 +270,53 @@ def _hh_chase_native(ab2: np.ndarray, n: int, b: int, chunk_cb=None,
         # ~32 MB chunks: big enough to amortize dispatch, small enough
         # that the wire stays busy from early in the chase
         chunk = max(1, (32 << 20) // max(V.strides[0], 1))
+        exc_box = [None]
+        cancel = threading.Event()
 
         def pump():
-            sent = 0
-            while True:
-                alive = th.is_alive()
+            try:
+                sent = 0
+                while not cancel.is_set():
+                    alive = th.is_alive()
+                    avail = int(done[0])
+                    # publish whole multiples of `chunk` rows so the
+                    # consumer's upload path sees ONE fixed shape (a
+                    # jitted device accumulator would retrace per chunk
+                    # height)
+                    while avail - sent >= chunk and not cancel.is_set():
+                        chunk_cb(V[sent:sent + chunk])
+                        sent += chunk
+                    if not alive:
+                        break
+                    _time.sleep(0.01)
+                if rc_box[0] != 0 or cancel.is_set():
+                    return
                 avail = int(done[0])
-                # publish whole multiples of `chunk` rows so the
-                # consumer's upload path sees ONE fixed shape (a jitted
-                # device accumulator would retrace per chunk height)
                 while avail - sent >= chunk:
                     chunk_cb(V[sent:sent + chunk])
                     sent += chunk
-                if not alive:
-                    break
-                _time.sleep(0.01)
-            if rc_box[0] != 0:
-                return
-            avail = int(done[0])
-            while avail - sent >= chunk:
-                chunk_cb(V[sent:sent + chunk])
-                sent += chunk
-            if sent < R:
-                chunk_cb(V[sent:R])     # one odd-shaped tail
+                if sent < R:
+                    chunk_cb(V[sent:R])     # one odd-shaped tail
+            except BaseException as e:      # noqa: BLE001 — re-raised at join
+                exc_box[0] = e
 
         if detach_pump:
             pth = threading.Thread(target=pump, daemon=True)
             pth.start()
             th.join()                   # chase compute done, ab final
             if rc_box[0] != 0:
+                # stop the pump BEFORE the caller discards its device
+                # buffer, else a late chunk_cb re-allocates a full-size
+                # stream buffer at a stale row offset (leak)
+                cancel.set()
+                pth.join()
                 return None
             ab2[...] = abf
-            return _PumpHandle(pth)
+            return _PumpHandle(pth, exc_box)
         pump()
         th.join()
+        if exc_box[0] is not None:
+            raise exc_box[0]
         if rc_box[0] != 0:
             return None
     else:
@@ -401,6 +420,11 @@ def hh_band_to_tridiagonal(ab: np.ndarray, band: int,
 
             def v_resolve(handle=handle, state=state):
                 handle.join()
+                _, R_exp = hh_schedule(n, band)
+                if state["row"] != R_exp:
+                    raise RuntimeError(
+                        f"reflector upload incomplete: {state['row']} of "
+                        f"{R_exp} rows reached the device")
                 return state["buf"]
         elif state["buf"] is not None:
             V = state["buf"]

@@ -94,9 +94,14 @@ def _larfg_batched(x):
     ``tau = 0`` identity reflector (beta = x[0] kept)."""
     dt = x.dtype
     alpha = x[:, 0]
-    xnorm2 = jnp.sum(x[:, 1:] * x[:, 1:], axis=1)
+    # hypot-style scaling: squaring raw entries overflows/underflows f32
+    # for extreme magnitudes where the host chase (np.hypot) is safe
+    amax = jnp.max(jnp.abs(x), axis=1)
+    s = jnp.where(amax == 0, jnp.ones((), dt), amax)
+    xs = x / s[:, None]
+    xnorm2 = jnp.sum(xs[:, 1:] * xs[:, 1:], axis=1)
     zero = xnorm2 == 0
-    anorm = jnp.sqrt(alpha * alpha + xnorm2)
+    anorm = s * jnp.sqrt(xs[:, 0] * xs[:, 0] + xnorm2)
     beta = jnp.where(alpha >= 0, -anorm, anorm)
     bsafe = jnp.where(zero, jnp.ones((), dt), beta)
     tau = jnp.where(zero, jnp.zeros((), dt), (beta - alpha) / bsafe)

@@ -14,9 +14,11 @@ block substitution:
 * the trailing update is one rank-local matmul per step on the contiguous
   local row suffix/prefix.
 
-Right variants reduce to Left via the adjoint identity
-``X op(A) = alpha B  <=>  op(A)^H X^H = conj(alpha) B^H`` (one distributed
-transpose each way — native right kernels are a later optimization).
+Right variants run natively too (``_trsm_right_kernel``/``_dispatch_right``):
+a mirrored k-loop of column-strip solves with the update gemm on the local
+column suffix/prefix — no global transposes (measured 1.10x the Left time at
+n=4096 on the 2x4 mesh, vs 2x full redistributions for the old adjoint
+reduction).
 """
 
 from __future__ import annotations
