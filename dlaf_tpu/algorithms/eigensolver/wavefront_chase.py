@@ -41,7 +41,7 @@ than dense reshapes):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -112,119 +112,182 @@ def _larfg_batched(x):
     return v, tau, jnp.where(zero, alpha, beta)
 
 
-@partial(jax.jit, static_argnames=("n", "b"), donate_argnums=(0,))
-def _wavefront_scan(band, n: int, b: int):
-    """The full chase: returns ``(band_out, V)``.
+def _chase_step(X, v, tau, b: int, LD: int, iota_b, iota_ld):
+    """One chase step on windows ``X [W, b, LD]`` with current reflectors
+    ``(v [W, b], tau [W])``: two-sided apply to the diagonal block, right
+    apply + bulge annihilation on the off-diagonal block.  Returns
+    ``(Xn, v2, tau2)`` — the updated windows and the next reflectors."""
+    dt = X.dtype
+    Wb = X.shape[0]
+    # ---- w = D v on the diagonal block, in band layout ----
+    VHb = _hankel(v, b, b)                        # VH[c,i] = v[c+i]
+    term2 = jnp.sum(X[:, :, 1:b] * VHb[:, :, 1:b], axis=2)
+    cs = _shear_sum(X * v[:, :, None], b, LD + b + 1)
+    term1 = cs[:, :b]                          # sum_c X[c, r-c] v[c]
+    y = cs[:, b:2 * b]                         # (B v)[r]
+    w1 = tau[:, None] * (term1 + term2)
+    corr = jnp.sum(w1 * v, axis=1) * tau / 2
+    w = w1 - corr[:, None] * v
 
-    ``band``: ``[NP, LD]`` with ``band[j, i] = A[j + i, j]`` (zeros for
-    ``j + i >= n`` and ``j >= n``), ``NP = n + 2 b + 2``, ``LD = 2b + 1``.
-    ``V``: ``[R + 1, b]`` sweep-major reflector stream (row ``R`` is the
-    inactive-slot dump row), identical layout to the host chase.
+    # ---- updates, all in band layout [c, i] ----
+    WHb = _hankel(w, b, b)
+    upd_d = WHb * v[:, :, None] + VHb * w[:, :, None]
+    Y2H = _hankel_pre(y, b, LD, b)                # y[c+i-b]
+    updB1 = tau[:, None, None] * Y2H * v[:, :, None]
+
+    # next reflector from B column 0 (post right-apply); v[0] = 1
+    bcol = X[:, 0, b:2 * b] - tau[:, None] * y
+    v2, tau2, beta2 = _larfg_batched(bcol)
+
+    # left apply H2 to bulge columns c >= 1
+    V2H = _hankel_pre(v2, b, LD, b)               # v2[c+i-b]
+    zX = jnp.sum(X * V2H, axis=2)
+    z = zX - (tau * jnp.sum(v2 * y, axis=1))[:, None] * v
+    updB2 = tau2[:, None, None] * V2H * z[:, :, None]
+    updB2 = jnp.where((iota_b == 0)[None, :, None], 0, updB2)
+
+    Xn = X - jnp.pad(upd_d, ((0, 0), (0, 0), (0, LD - b))) \
+        - updB1 - updB2
+    # column c=0, depths [b, 2b]: annihilated -> [beta2, 0, ..., 0]
+    tail0 = jnp.concatenate(
+        [Xn[:, 0, :b], beta2[:, None], jnp.zeros((Wb, b), dt)], axis=1)
+    c0 = ((iota_b == 0)[None, :, None] &
+          (iota_ld >= b)[None, None, :])
+    Xn = jnp.where(c0, tail0[:, None, :], Xn)
+    return Xn, v2, tau2
+
+
+def _wavefront_width(n: int, b: int) -> int:
+    """Slot count W: slot ``m`` hosts sweep ``it - m``, active while
+    ``3 m + tau < cnt[s] <= tmax`` — so ``3 W >= tmax`` suffices."""
+    cnt = sweep_reflector_counts(n, b)
+    tmax = int(cnt.max()) if len(cnt) else 0
+    return max(1, (tmax + 2) // 3)
+
+
+@partial(jax.jit, static_argnames=("n", "b"), donate_argnums=(0,))
+def _wavefront_scan(flat, n: int, b: int):
+    """The full chase: returns ``(flat_out, ys)``.
+
+    Slice-lattice formulation (v2): at chase time ``T = 3 it + tau``
+    (``tau`` in {0,1,2}), slot ``m`` hosts sweep ``s = it - m`` at step
+    ``t = 3 m + tau``, whose window starts at flat row
+    ``1 + it + tau*b + m*(3b-1)``.  So ONE dynamic slice of height ``H``
+    at row ``it`` covers the sweep-start column (row 0) and all three
+    substeps' windows at *static* in-slice offsets — no gather/scatter
+    ops anywhere (the v1 formulation's per-row gathers ran ~330 us/iter
+    and its 2.15 GB V-scatter carry is the suspected n=32768 worker-crash
+    trigger).  Reflectors are emitted as per-iteration scan outputs
+    ``ys [3, W, b]`` and compacted afterwards by one index-mapped gather
+    (``_raw_index_map``).
+
+    ``flat``: ``[NPf, LD]`` with ``flat[j, i] = A[j + i, j]`` (zeros
+    beyond the matrix), ``NPf >= n - 3 + W*(3b-1) + 2b + 1``,
+    ``LD = 2b + 1``.
+
+    Cross-substep dataflow within one iteration (all other window rows
+    are >= 2 chase steps apart): substep 2's window row ``b-1`` of slot
+    ``m`` is substep 0's window row 0 of slot ``m+1`` (read patch), and
+    the same row pair aliases in the write-back (substep 2 wins).
     """
-    dt = band.dtype
-    NP = band.shape[0]
+    dt = flat.dtype
     LD = 2 * b + 1
+    S = 3 * b - 1
     nsweeps = n - 2
-    cnt_np = sweep_reflector_counts(n, b)
-    off_np, R = hh_schedule(n, b)
-    tmax = int(cnt_np.max()) if len(cnt_np) else 0
-    W = max(1, -(-tmax // 3) + 1)
-    cnt = jnp.asarray(cnt_np.astype(np.int32))
-    off = jnp.asarray(off_np[:-1].astype(np.int32))
-    T_total = 3 * nsweeps
-    karr = jnp.arange(W, dtype=jnp.int32)
-    rows_rel = jnp.arange(b, dtype=jnp.int32)
+    W = _wavefront_width(n, b)
+    H = W * S + 2 * b + 1
     iota_b = jnp.arange(b, dtype=jnp.int32)
     iota_ld = jnp.arange(LD, dtype=jnp.int32)
+    m_arr = jnp.arange(W, dtype=jnp.int32)
 
-    V = jnp.zeros((R + 1, b), dt)
     v0 = jnp.zeros((W, b), dt)
     tau0 = jnp.zeros((W,), dt)
 
-    def body(carry, T):
-        band, V, v, tau = carry
-        q = (T - 3 * karr) // (3 * W)
-        s = karr + W * q
-        t = T - 3 * s
-        s_cl = jnp.clip(s, 0, max(nsweeps - 1, 0))
-        active = (s >= 0) & (s < nsweeps) & (t >= 0) & (t < cnt[s_cl])
-        start = active & (t == 0)
+    def active_mask(it, tau_sub: int):
+        s = it - m_arr
+        cnt_s = (n - 3 - jnp.maximum(s, 0)) // b + 1
+        return (s >= 0) & (3 * m_arr + tau_sub < cnt_s)
 
-        # ---- sweep start: reflector from column s (depths 1..b) ----
-        sidx = jnp.where(start, s, NP - 1)        # parked slots -> pad row
-        srow = band[sidx]                          # [W, LD]
-        v_s, tau_s, beta_s = _larfg_batched(srow[:, 1:1 + b])
-        srow_new = jnp.concatenate(
-            [srow[:, :1], beta_s[:, None],
-             jnp.zeros((W, b - 1), dt), srow[:, 1 + b:]], axis=1)
-        band = band.at[sidx].set(
-            jnp.where(start[:, None], srow_new, jnp.zeros((), dt)))
-        v = jnp.where(start[:, None], v_s, v)
-        tau = jnp.where(start, tau_s, tau)
+    def body(carry, it):
+        flat, v, tau = carry
+        Z = lax.dynamic_slice(flat, (it, jnp.zeros((), it.dtype)), (H, LD))
 
-        # ---- emit V row (current reflector, before the step) ----
-        ridx = jnp.where(active, off[s_cl] + t, jnp.int32(R))
-        vr = jnp.concatenate([tau[:, None], v[:, 1:]], axis=1)
-        V = V.at[ridx].set(jnp.where(active[:, None], vr, 0))
+        # ---- sweep s = it starts: reflector from column s ----
+        v_s, tau_s, beta_s = _larfg_batched(Z[0:1, 1:1 + b])
+        row0 = jnp.concatenate(
+            [Z[0:1, 0:1], beta_s[:, None], jnp.zeros((1, b - 1), dt),
+             Z[0:1, 1 + b:]], axis=1)
+        v = jnp.concatenate([v_s, v[1:]], axis=0)
+        tau = jnp.concatenate([tau_s, tau[1:]], axis=0)
 
-        # ---- window gather: cols [j, j+b) of the band ----
-        j = jnp.where(active, 1 + s + t * b, NP - b - 1)
-        ridx2 = (j[:, None] + rows_rel[None, :]).reshape(-1)
-        X = band[ridx2].reshape(W, b, LD)
+        def windows(off: int):
+            return Z[off:off + W * S].reshape(W, S, LD)[:, :b, :]
 
-        # ---- w = D v on the diagonal block, in band layout ----
-        VHb = _hankel(v, b, b)                        # VH[c,i] = v[c+i]
-        term2 = jnp.sum(X[:, :, 1:b] * VHb[:, :, 1:b], axis=2)
-        cs = _shear_sum(X * v[:, :, None], b, LD + b + 1)
-        term1 = cs[:, :b]                          # sum_c X[c, r-c] v[c]
-        y = cs[:, b:2 * b]                         # (B v)[r]
-        w1 = tau[:, None] * (term1 + term2)
-        corr = jnp.sum(w1 * v, axis=1) * tau / 2
-        w = w1 - corr[:, None] * v
+        def substep(X, v, tau, act):
+            vr = jnp.concatenate([tau[:, None], v[:, 1:]], axis=1)
+            Xn, v2, tau2 = _chase_step(X, v, tau, b, LD, iota_b, iota_ld)
+            Xn = jnp.where(act[:, None, None], Xn, X)
+            v = jnp.where(act[:, None], v2, v)
+            tau = jnp.where(act, tau2, tau)
+            return Xn, v, tau, vr
 
-        # ---- updates, all in band layout [c, i] ----
-        WHb = _hankel(w, b, b)
-        upd_d = WHb * v[:, :, None] + VHb * w[:, :, None]
-        Y2H = _hankel_pre(y, b, LD, b)                # y[c+i-b]
-        updB1 = tau[:, None, None] * Y2H * v[:, :, None]
+        X0 = windows(1)
+        Xn0, v, tau, vr0 = substep(X0, v, tau, active_mask(it, 0))
+        X1 = windows(1 + b)
+        Xn1, v, tau, vr1 = substep(X1, v, tau, active_mask(it, 1))
+        X2 = windows(1 + 2 * b)
+        # read patch: slot m's row b-1 was rewritten by substep 0 as slot
+        # m+1's row 0 (the only <2-step-distance pair; last slot: original)
+        patch = jnp.concatenate([Xn0[1:, 0:1, :], X2[W - 1:, b - 1:b, :]],
+                                axis=0)
+        X2 = jnp.concatenate([X2[:, :b - 1, :], patch], axis=1)
+        Xn2, v, tau, vr2 = substep(X2, v, tau, active_mask(it, 2))
 
-        # next reflector from B column 0 (post right-apply); v[0] = 1
-        bcol = X[:, 0, b:2 * b] - tau[:, None] * y
-        v2, tau2, beta2 = _larfg_batched(bcol)
+        # ---- write-back: the 3 substeps' windows tile the S-row blocks
+        # exactly; substep 2's last row overrides substep 0's row 0 of the
+        # next slot (later chase time wins) ----
+        row0_adj = jnp.concatenate(
+            [Xn0[0:1, 0:1, :], Xn2[:W - 1, b - 1:b, :]], axis=0)
+        blocks = jnp.concatenate(
+            [jnp.concatenate([row0_adj, Xn0[:, 1:, :]], axis=1),
+             Xn1, Xn2[:, :b - 1, :]], axis=1)          # [W, S, LD]
+        z_out = jnp.concatenate(
+            [row0, blocks.reshape(W * S, LD), Xn2[W - 1:, b - 1, :]],
+            axis=0)                                     # [W*S + 2, LD]
+        flat = lax.dynamic_update_slice(
+            flat, z_out, (it, jnp.zeros((), it.dtype)))
 
-        # left apply H2 to bulge columns c >= 1
-        V2H = _hankel_pre(v2, b, LD, b)               # v2[c+i-b]
-        zX = jnp.sum(X * V2H, axis=2)
-        z = zX - (tau * jnp.sum(v2 * y, axis=1))[:, None] * v
-        updB2 = tau2[:, None, None] * V2H * z[:, :, None]
-        updB2 = jnp.where((iota_b == 0)[None, :, None], 0, updB2)
+        # slot shift: at it+1, sweep it-m lives in slot m+1
+        v = jnp.concatenate([jnp.zeros((1, b), dt), v[:-1]], axis=0)
+        tau = jnp.concatenate([jnp.zeros((1,), dt), tau[:-1]], axis=0)
+        return (flat, v, tau), jnp.stack([vr0, vr1, vr2])
 
-        Xn = X - jnp.pad(upd_d, ((0, 0), (0, 0), (0, LD - b))) \
-            - updB1 - updB2
-        # column c=0, depths [b, 2b]: annihilated -> [beta2, 0, ..., 0]
-        tail0 = jnp.concatenate(
-            [Xn[:, 0, :b], beta2[:, None], jnp.zeros((W, b), dt)], axis=1)
-        c0 = ((iota_b == 0)[None, :, None] &
-              (iota_ld >= b)[None, None, :])
-        Xn = jnp.where(c0, tail0[:, None, :], Xn)
+    (flat, _, _), ys = lax.scan(
+        body, (flat, v0, tau0),
+        jnp.arange(max(nsweeps, 0), dtype=jnp.int32))
+    return flat, ys.reshape(max(nsweeps, 0) * 3 * W, b)
 
-        Xn = jnp.where(active[:, None, None], Xn, jnp.zeros((), dt))
-        band = band.at[ridx2].set(Xn.reshape(-1, LD))
-        v = jnp.where(active[:, None], v2, v)
-        tau = jnp.where(active, tau2, tau)
-        return (band, V, v, tau), None
 
-    (band, V, _, _), _ = lax.scan(
-        body, (band, V, v0, tau0),
-        jnp.arange(T_total, dtype=jnp.int32))
-    return band, V
+@lru_cache(maxsize=8)
+def _raw_index_map(n: int, b: int) -> np.ndarray:
+    """Sweep-major stream row ``r = off[s] + t`` -> raw ``ys`` row
+    ``((s + t//3)*3 + t%3) * W + t//3`` (iteration-major emission)."""
+    off, R = hh_schedule(n, b)
+    cnt = sweep_reflector_counts(n, b)
+    W = _wavefront_width(n, b)
+    s_of_r = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    t_of_r = np.arange(R, dtype=np.int64) - off[s_of_r]
+    m = t_of_r // 3
+    return (((s_of_r + m) * 3 + t_of_r % 3) * W + m).astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("n", "b"))
 def _band_layout(ab, n: int, b: int):
-    """``[b+1, n]`` extract-band layout -> padded ``[NP, 2b+1]``."""
-    NP = n + 2 * b + 2
-    band = jnp.zeros((NP, 2 * b + 1), ab.dtype)
+    """``[b+1, n]`` extract-band layout -> padded flat ``[NPf, 2b+1]``
+    (tall enough for the last iteration's slice)."""
+    W = _wavefront_width(n, b)
+    NPf = n + W * (3 * b - 1) + 2 * b + 1
+    band = jnp.zeros((NPf, 2 * b + 1), ab.dtype)
     return lax.dynamic_update_slice(band, ab.T, (0, 0))
 
 
@@ -233,8 +296,11 @@ def wavefront_band_to_tridiagonal(ab, band: int) -> HHChaseResult:
 
     ``ab``: device (or host) array ``[band+1, n]`` lower-banded storage
     (``ab[i, j] = A[j+i, j]``), real dtype.  Returns the same
-    :class:`HHChaseResult` contract as the host chase: ``d``/``e`` as
-    host float64 arrays, ``V`` as a *device* ``[R, b]`` stream.
+    :class:`HHChaseResult` contract as the host chase, with the
+    reflector stream held in emission order (``V_raw``/``V_raw_map``):
+    ``resolve_V()`` compacts to the sweep-major ``[R, b]`` layout, or
+    ``bt_hh_window_stream`` gathers straight to window order (one
+    composed gather, no intermediate sweep-major buffer).
     """
     bp1, n = ab.shape
     if bp1 != band + 1:
@@ -250,9 +316,10 @@ def wavefront_band_to_tridiagonal(ab, band: int) -> HHChaseResult:
                        np.float64)
         return HHChaseResult(d, e, jnp.zeros((R, max(band, 1)), ab.dtype),
                              n, band, None)
-    bandd = _band_layout(jnp.asarray(ab), n, band)
-    band_out, V = _wavefront_scan(bandd, n, band)
-    de = np.asarray(band_out[:n, :2])       # one small fetch
+    flat = _band_layout(jnp.asarray(ab), n, band)
+    flat_out, ys = _wavefront_scan(flat, n, band)
+    de = np.asarray(flat_out[:n, :2])       # one small fetch
     d = np.asarray(de[:, 0], np.float64)
     e = np.asarray(de[: n - 1, 1], np.float64)
-    return HHChaseResult(d, e, V[:R], n, band, None)
+    return HHChaseResult(d, e, None, n, band, None,
+                         V_raw=ys, V_raw_map=_raw_index_map(n, band))

@@ -32,7 +32,7 @@ def main():
         t2 = time.perf_counter()
         gf = 6 * n * n * b / (t2 - t1) / 1e9
         print(f"n={n} b={b}: cold {t1 - t0:.1f}s  warm {t2 - t1:.2f}s "
-              f"({gf:.0f} GF/s model)  V on device: {res.V.shape}",
+              f"({gf:.0f} GF/s model)  V raw: {res.V_raw.shape if res.V_raw is not None else res.V.shape}",
               flush=True)
 
 

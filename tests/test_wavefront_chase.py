@@ -87,7 +87,8 @@ def test_matches_host_trajectory_small(n, b):
     ab2[: b + 1] = ab
     Vref = hh_chase_numpy(ab2, n, b)
     res = wavefront_band_to_tridiagonal(ab, b)
-    np.testing.assert_allclose(np.asarray(res.V), Vref, atol=5e-11)
+    np.testing.assert_allclose(np.asarray(res.resolve_V()), Vref,
+                               atol=5e-11)
     np.testing.assert_allclose(res.d, ab2[0], atol=5e-11)
     np.testing.assert_allclose(res.e, ab2[1, : n - 1], atol=5e-11)
 
@@ -117,12 +118,27 @@ def test_v_stream_layout_matches_schedule():
     ab = random_band(n, b, np.float64, seed=3)
     res = wavefront_band_to_tridiagonal(ab, b)
     off, R = hh_schedule(n, b)
-    assert res.V.shape == (R, b)
+    assert res.resolve_V().shape == (R, b)
     # every in-schedule reflector has v[0] implied 1: stored row is
     # [tau, v1, ...]; a tau==0 row must be all zero (identity reflector)
     V = np.asarray(res.V)
     zero_tau = V[:, 0] == 0
     assert np.all(V[zero_tau] == 0)
+
+
+def test_raw_window_stream_matches_compacted():
+    """bt_hh_window_stream's composed raw gather == gather from the
+    compacted sweep-major stream."""
+    from dlaf_tpu.algorithms.eigensolver.bt_hh import bt_hh_window_stream
+
+    n, b = 70, 8
+    ab = random_band(n, b, np.float64, seed=9)
+    res1 = wavefront_band_to_tridiagonal(ab, b)
+    sw_raw = np.asarray(bt_hh_window_stream(res1, g=4))
+    res2 = wavefront_band_to_tridiagonal(ab, b)
+    res2.resolve_V()
+    sw_compact = np.asarray(bt_hh_window_stream(res2, g=4))
+    np.testing.assert_allclose(sw_raw, sw_compact, atol=0)
 
 
 def test_eigensolver_end_to_end_wavefront():
