@@ -89,22 +89,28 @@ def main():
 
     target = 0.85 * mm_gflops
 
-    # secondary metric (set DLAF_BENCH_HEEV=1): full eigensolver wall time
-    # (reference protocol: miniapp_eigensolver end-to-end seconds)
+    # POTRF line FIRST: if the flagship HEEV attempt dies on a co-tenant
+    # wave, the round still records its primary metric
+    print(json.dumps({
+        "metric": f"POTRF fp32(highest) n={n} nb={nb} single-chip",
+        "value": round(gflops, 2),
+        "unit": "GFlop/s",
+        "vs_baseline": round(gflops / target, 4),
+    }), flush=True)
+
+    # flagship metric: full eigensolver wall time, reference protocol
+    # (miniapp_eigensolver end-to-end seconds).  vs_baseline compares to
+    # the measured single-chip pure-compute floor at n=32768 (~85 s,
+    # BASELINE.md) so >= 1.0 means the wire/overheads are fully hidden.
+    # DLAF_BENCH_HEEV=0 skips; DLAF_BENCH_HEEV_N overrides the size.
     import os
-    if os.environ.get("DLAF_BENCH_HEEV"):
+    if os.environ.get("DLAF_BENCH_HEEV", "1") != "0":
         import time as _time
 
         from dlaf_tpu import hermitian_eigensolver
-        nh = int(os.environ.get("DLAF_BENCH_HEEV_N", "8192"))
-        if nh >= 16384:
-            # lean mode: every stage <= ~9.5 GB (survives co-tenants)
-            set_tune_parameters(dc_stage_bytes=512 << 20,
-                                dc_lean_bytes=512 << 20,
-                                dc_lean_rowblock=2048, bt_group_size=128)
-        nbh = 2048 if nh >= 16384 else 1024
+        n_req = int(os.environ.get("DLAF_BENCH_HEEV_N", "32768"))
 
-        def run_heev():
+        def run_heev(nh, nbh):
             ah = mu.random_hermitian_device(nh, dtype, seed=1)
             mh = DistMatrix.from_natural(ah, nbh)
             del ah
@@ -114,19 +120,36 @@ def main():
             np.asarray(v.data).ravel()[0].item()
             return _time.perf_counter() - t0
 
-        run_heev()                       # compile + warm
-        theev = run_heev()
-        print(json.dumps({
-            "metric": f"HEEV fp32 n={nh} band=128 single-chip",
-            "value": round(theev, 2), "unit": "s", "vs_baseline": None,
-        }))
-
-    print(json.dumps({
-        "metric": f"POTRF fp32(highest) n={n} nb={nb} single-chip",
-        "value": round(gflops, 2),
-        "unit": "GFlop/s",
-        "vs_baseline": round(gflops / target, 4),
-    }))
+        theev = nh = None
+        for nh in [s for s in (32768, 32768, 16384, 8192) if s <= n_req]:
+            try:
+                if nh >= 16384:
+                    # lean mode: every stage <= ~10 GB (survives
+                    # co-tenants); settings from scripts/heev_32768.py
+                    set_tune_parameters(dc_stage_bytes=512 << 20,
+                                        dc_lean_bytes=512 << 20,
+                                        dc_lean_rowblock=2048,
+                                        bt_group_size=128)
+                nbh = 2048 if nh >= 16384 else 1024
+                # warmup absorbs compile/program-load queue noise (a cold
+                # n=8192 run measured 93.75 s vs 5.7 s warm), then one
+                # timed run
+                run_heev(nh, nbh)
+                theev = run_heev(nh, nbh)
+                break
+            except Exception as exc:              # noqa: BLE001
+                msg = str(exc).splitlines()[0][:300] if str(exc) else ""
+                print(f"HEEV n={nh} failed ({type(exc).__name__}: {msg})",
+                      file=sys.stderr)
+                gc.collect()
+                time.sleep(90)
+        if theev is not None:
+            vsb = round(85.0 / theev, 4) if nh == 32768 else None
+            print(json.dumps({
+                "metric": f"HEEV fp32 n={nh} band=128 single-chip",
+                "value": round(theev, 2), "unit": "s",
+                "vs_baseline": vsb,
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -233,20 +233,24 @@ def bt_hh_window_stream(res: HHChaseResult, g: int | None = None):
     g = max(1, min(g, max(n - 2, 1)))
     if res.V is None and res.V_raw is not None and res.v_resolve is None:
         # wavefront raw stream: compose sweep-major->raw with the window
-        # schedule on the host — ONE gather, no sweep-major intermediate
+        # schedule on the host — per-segment masked gathers straight to
+        # window order, no sweep-major intermediate
+        from .wavefront_chase import gather_raw_rows
         widx, _ = bt_hh_window_schedule(n, b, g)
         if widx.shape[0] == 0:
             return res.resolve_V()
         idx = res.V_raw_map[np.maximum(widx, 0)]
-        out = _window_gather_jit(res.V_raw, jnp.asarray(idx), g=g, b=b)
+        out = gather_raw_rows(res.V_raw, idx)
         res.V_raw = res.V_raw_map = None    # donated
         return out
     res.resolve_V()
     if res.V.shape[0] == 0 or n <= 2 or b <= 1:
         return res.V
     widx, _ = bt_hh_window_schedule(n, b, g)
-    return _window_gather_jit(jnp.asarray(res.V), jnp.asarray(widx),
-                              g=g, b=b)
+    out = _window_gather_jit(jnp.asarray(res.V), jnp.asarray(widx),
+                             g=g, b=b)
+    res.V = None        # donated; resolve_V now raises "consumed"
+    return out
 
 
 @partial(jax.jit, static_argnames=("g", "b"), donate_argnums=(0,))

@@ -124,8 +124,8 @@ def hermitian_eigensolver(
                      and not np.issubdtype(np.dtype(adtype),
                                            np.complexfloating)
                      and jax.process_count() == 1 and n > 2 and band > 1
-                     # a multi-device mesh would run the replicated
-                     # scatter-heavy scan redundantly on every device
+                     # a multi-device mesh would execute the replicated
+                     # scan redundantly on every device (no sharded dim)
                      and (agrid is None or agrid.mesh.size == 1))
     if use_wavefront:
         ab = extract_band(mat_hh, band)     # stays on device

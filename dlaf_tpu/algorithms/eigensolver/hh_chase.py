@@ -116,26 +116,33 @@ class HHChaseResult:
     #: async upload pending: call :meth:`resolve_V` before using ``V``
     #: (``V`` is None until then; the upload drains behind the D&C stage)
     v_resolve: object | None = None
-    #: wavefront chase: reflector stream in raw (emission-order) layout
-    #: plus the sweep-major -> raw row index map; :meth:`resolve_V`
-    #: compacts, ``bt_hh_window_stream`` gathers straight to window order
+    #: wavefront chase: reflector stream in raw (emission-order) layout —
+    #: a LIST of equal-size device segments (no single buffer > ~1 GiB,
+    #: see wavefront_chase._wavefront_scan_seg) — plus the sweep-major ->
+    #: raw row index map; :meth:`resolve_V` compacts,
+    #: ``bt_hh_window_stream`` gathers straight to window order
     V_raw: object | None = None
     V_raw_map: object | None = None
 
     def resolve_V(self):
         """Join a pending background reflector-stream upload / compact a
-        raw wavefront stream (no-op if ``V`` is already materialized)."""
+        raw wavefront stream (no-op if ``V`` is already materialized).
+
+        Raises if the stream was already consumed (donated into a window
+        gather) — a silent ``None`` here would surface much later as an
+        opaque AttributeError inside the back-transform."""
         if self.v_resolve is not None:
             self.V = self.v_resolve()
             self.v_resolve = None
         if self.V is None and self.V_raw is not None:
-            import jax
-            import jax.numpy as jnp
-            compact = jax.jit(
-                lambda raw, idx: jnp.take(raw, idx, axis=0),
-                donate_argnums=(0,))
-            self.V = compact(self.V_raw, jnp.asarray(self.V_raw_map))
+            from .wavefront_chase import gather_raw_rows
+            self.V = gather_raw_rows(self.V_raw, self.V_raw_map)
             self.V_raw = self.V_raw_map = None
+        if self.V is None:
+            raise RuntimeError(
+                "reflector stream already consumed (donated into "
+                "bt_hh_window_stream); HHChaseResult supports one "
+                "back-transform pass")
         return self.V
 
 

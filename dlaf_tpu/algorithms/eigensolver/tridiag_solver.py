@@ -47,6 +47,12 @@ from jax import lax
 from ...ops import tile
 
 
+#: merges up to this size run as ONE vmapped batch per (size, split)
+#: group; bigger groups run as a sequential fori_loop over offsets (same
+#: single traced body, none of the batch's x|group| transient memory)
+_BATCH_MAX_M = 4096
+
+
 def _split_tree(n: int, leaf: int):
     """Static list of split points; returns (leaves, merges bottom-up)."""
     leaves = []
@@ -438,6 +444,12 @@ def _dc_big_merge(lam, Q, e, merge, n, col_chunk, q_sharding):
     vs ~4 when the transpose -> rotate -> transpose -> gemm chain lives
     inside one jit (copy insertion cannot prove the intermediate
     transposes dead across the value chain).
+
+    The merge offset ``i0`` is a RUNTIME scalar, so all same-size merges
+    of the tree share one set of compiled stage programs (the per-merge
+    keying compiled — and server-side loaded — a separate ~MB-scale
+    program per 16384-merge; program load is the dominant non-exec cost
+    of the D&C stage on the tunneled chip).
     """
     i0, i1, i2 = merge
     m = i2 - i0
@@ -446,18 +458,19 @@ def _dc_big_merge(lam, Q, e, merge, n, col_chunk, q_sharding):
     lean_bytes = get_tune_parameters().dc_lean_bytes
     lean = bool(lean_bytes) and \
         m * m * np.dtype(Q.dtype).itemsize > lean_bytes
-    jits = _dc_stage_jits(n, merge, col_chunk, q_sharding, lean)
-    info = jits["analysis"](lam, Q, e)
+    jits = _dc_stage_jits(n, m, i1 - i0, full, col_chunk, q_sharding, lean)
+    i0j = jnp.int32(i0)
+    info = jits["analysis"](lam, Q, e, i0j)
     if lean:
         # single donated in-place stage: rotations + U gemm over row
         # blocks (peak ~1 full matrix + block transients vs ~2.5 for the
         # transpose-staged pipeline below)
         if full:
             return info.lam, jits["lean"](Q, info)
-        Qm = jits["slice"](Q)
+        Qm = jits["slice"](Q, i0j)
         Qm = jits["lean"](Qm, info)
-        return jits["writeback"](lam, Q, info.lam, Qm)
-    Qm = Q if full else jits["slice"](Q)
+        return jits["writeback"](lam, Q, info.lam, Qm, i0j)
+    Qm = Q if full else jits["slice"](Q, i0j)
     RT = jits["rotate"](Qm, info)       # donates Qm; transposed result
     del Qm
     if full:
@@ -468,22 +481,19 @@ def _dc_big_merge(lam, Q, e, merge, n, col_chunk, q_sharding):
     del Qrot
     if full:
         return info.lam, Qn
-    return jits["writeback"](lam, Q, info.lam, Qn)
+    return jits["writeback"](lam, Q, info.lam, Qn, i0j)
 
 
 _dc_stage_cache: dict = {}
 
 
-def _dc_stage_jits(n, merge, col_chunk, q_sharding, lean=False):
+def _dc_stage_jits(n, m, m1, full, col_chunk, q_sharding, lean=False):
     from ...tune import get_tune_parameters
     lean_rb = int(get_tune_parameters().dc_lean_rowblock)
-    key = (n, merge, col_chunk, q_sharding, lean, lean_rb)
+    key = (n, m, m1, full, col_chunk, q_sharding, lean, lean_rb)
     jits = _dc_stage_cache.get(key)
     if jits is not None:
         return jits
-    i0, i1, i2 = merge
-    m = i2 - i0
-    full = (i0, i2) == (0, n)
     t_sharding = _transposed_sharding(q_sharding)
 
     def constrain(x, sh=q_sharding):
@@ -491,19 +501,19 @@ def _dc_stage_jits(n, merge, col_chunk, q_sharding, lean=False):
             return x
         return lax.with_sharding_constraint(x, sh)
 
-    def analysis(lam, Q, e):
+    def analysis(lam, Q, e, i0):
         dt = Q.dtype
         eps = jnp.asarray(np.finfo(np.dtype(dt)).eps, dt)
         Dm = lax.dynamic_slice(lam, (i0,), (m,))
-        em = e[i1 - 1]
+        em = lax.dynamic_slice(e, (i0 + m1 - 1,), (1,))[0]
         sgn = jnp.where(em < 0, -jnp.ones((), dt), jnp.ones((), dt))
         rho = jnp.abs(em)
-        r1 = lax.dynamic_slice(Q, (i1 - 1, i0), (1, i1 - i0))[0]
-        r2 = lax.dynamic_slice(Q, (i1, i1), (1, i2 - i1))[0]
+        r1 = lax.dynamic_slice(Q, (i0 + m1 - 1, i0), (1, m1))[0]
+        r2 = lax.dynamic_slice(Q, (i0 + m1, i0 + m1), (1, m - m1))[0]
         z = jnp.concatenate([r1, sgn * r2])
         return _merge_analysis(Dm, z, rho, eps, col_chunk)
 
-    def slice_(Q):
+    def slice_(Q, i0):
         return constrain(lax.dynamic_slice(Q, (i0, i0), (m, m)))
 
     def rotate(Qm, info):
@@ -561,7 +571,7 @@ def _dc_stage_jits(n, merge, col_chunk, q_sharding, lean=False):
             r0 += h
         return constrain(Q)
 
-    def writeback(lam, Q, lam_m, Qn):
+    def writeback(lam, Q, lam_m, Qn, i0):
         lam = lax.dynamic_update_slice(lam, lam_m, (i0,))
         return lam, constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
 
@@ -660,34 +670,62 @@ def _dc_small_jit(d, e, leaf_size: int = 32, col_chunk: int = 2048,
     for (i0, i1, i2) in merges:
         groups.setdefault((i2 - i0, i1 - i0), []).append((i0, i1, i2))
 
-    batch_max_m = 4096
+    batch_max_m = _BATCH_MAX_M
     for key in sorted(groups, key=lambda k: k[0]):
         m, m1 = key
         group = groups[key]
-        if len(group) == 1 or m > batch_max_m:
-            for (i0, i1, i2) in group:
-                full = (i0, i2) == (0, n)
-                Dm = lam[i0:i2]
-                # the root merge IS the whole matrix: slicing it out (and
-                # writing it back) would cost two extra n^2 buffers right
-                # at the memory peak of the tree
-                Qm = Q if full else constrain(
-                    lax.dynamic_slice(Q, (i0, i0), (m, m)))
-                em = e[i1 - 1]
+        if len(group) == 1:
+            (i0, i1, i2) = group[0]
+            full = (i0, i2) == (0, n)
+            Dm = lam[i0:i2]
+            # the root merge IS the whole matrix: slicing it out (and
+            # writing it back) would cost two extra n^2 buffers right
+            # at the memory peak of the tree
+            Qm = Q if full else constrain(
+                lax.dynamic_slice(Q, (i0, i0), (m, m)))
+            em = e[i1 - 1]
+            sgn = jnp.where(em < 0, -jnp.ones((), dt),
+                            jnp.ones((), dt))
+            rho = jnp.abs(em)
+            # z = [last row of Q1, sign * first row of Q2]
+            z = jnp.concatenate([Qm[i1 - 1 - i0, : i1 - i0],
+                                 sgn * Qm[i1 - i0, i1 - i0:]])
+            lam_m, Qn = _merge(Dm, Qm, z, rho, eps,
+                               col_chunk=col_chunk,
+                               constrain=constrain)
+            if full:
+                lam, Q = lam_m, constrain(Qn)
+            else:
+                lam = lam.at[i0:i2].set(lam_m)
+                Q = constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
+            continue
+        if m > batch_max_m:
+            # big same-size merges: sequential fori_loop with the offset
+            # as a loop value — ONE traced merge body per size, not one
+            # per merge (the per-offset unrolling was the bulk of the
+            # 53 MB n=32768 program whose server-side load dominated the
+            # D&C stage's non-exec wall time), and none of the batched
+            # path's x|group| transient memory at the tree's peak
+            starts = jnp.asarray(np.asarray([g[0] for g in group],
+                                            np.int32))
+
+            def seq_merge(t, st, starts=starts, m=m, m1=m1):
+                lam, Q = st
+                i0 = starts[t]
+                Dm = lax.dynamic_slice(lam, (i0,), (m,))
+                Qm = constrain(lax.dynamic_slice(Q, (i0, i0), (m, m)))
+                em = lax.dynamic_slice(e, (i0 + m1 - 1,), (1,))[0]
                 sgn = jnp.where(em < 0, -jnp.ones((), dt),
                                 jnp.ones((), dt))
                 rho = jnp.abs(em)
-                # z = [last row of Q1, sign * first row of Q2]
-                z = jnp.concatenate([Qm[i1 - 1 - i0, : i1 - i0],
-                                     sgn * Qm[i1 - i0, i1 - i0:]])
+                z = jnp.concatenate([Qm[m1 - 1, :m1], sgn * Qm[m1, m1:]])
                 lam_m, Qn = _merge(Dm, Qm, z, rho, eps,
-                                   col_chunk=col_chunk,
-                                   constrain=constrain)
-                if full:
-                    lam, Q = lam_m, constrain(Qn)
-                else:
-                    lam = lam.at[i0:i2].set(lam_m)
-                    Q = constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
+                                   col_chunk=col_chunk)
+                lam = lax.dynamic_update_slice(lam, lam_m, (i0,))
+                Q = constrain(lax.dynamic_update_slice(Q, Qn, (i0, i0)))
+                return lam, Q
+
+            lam, Q = lax.fori_loop(0, len(group), seq_merge, (lam, Q))
             continue
 
         starts = jnp.asarray(np.asarray([g[0] for g in group], np.int32))

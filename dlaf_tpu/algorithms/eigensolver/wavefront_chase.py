@@ -165,31 +165,45 @@ def _wavefront_width(n: int, b: int) -> int:
     return max(1, (tmax + 2) // 3)
 
 
-@partial(jax.jit, static_argnames=("n", "b"), donate_argnums=(0,))
-def _wavefront_scan(flat, n: int, b: int):
-    """The full chase: returns ``(flat_out, ys)``.
+@partial(jax.jit, static_argnames=("n", "b", "niter"),
+         donate_argnums=(0, 1, 2))
+def _wavefront_scan_seg(flat, v, tau, it0, n: int, b: int, niter: int):
+    """``niter`` chase iterations starting at ``it0``: returns
+    ``(flat, v, tau, ys)``.
 
-    Slice-lattice formulation (v2): at chase time ``T = 3 it + tau``
-    (``tau`` in {0,1,2}), slot ``m`` hosts sweep ``s = it - m`` at step
-    ``t = 3 m + tau``, whose window starts at flat row
-    ``1 + it + tau*b + m*(3b-1)``.  So ONE dynamic slice of height ``H``
-    at row ``it`` covers the sweep-start column (row 0) and all three
-    substeps' windows at *static* in-slice offsets — no gather/scatter
-    ops anywhere (the v1 formulation's per-row gathers ran ~330 us/iter
-    and its 2.15 GB V-scatter carry is the suspected n=32768 worker-crash
-    trigger).  Reflectors are emitted as per-iteration scan outputs
-    ``ys [3, W, b]`` and compacted afterwards by one index-mapped gather
-    (``_raw_index_map``).
+    One segment of the chase — the driver runs ``ceil(nsweeps/niter)``
+    of these back-to-back, carrying ``(flat, v, tau)`` through donated
+    buffers, so no single stacked scan output exceeds the segment size.
+    (A single whole-chase scan emits ys = 3*W*nsweeps rows; at n = 32768
+    that is 4.33e9 bytes > 2^32 and CRASHED the TPU worker twice —
+    r2 with the v1 scatter carry, r4 with this gather-free v2 — while
+    every <2^32 buffer works: suspected 32-bit byte-offset overflow in
+    the scan-output writes.  Segments also cut the scan's live memory:
+    earlier segments' ys can be consumed while later ones run.)
 
-    ``flat``: ``[NPf, LD]`` with ``flat[j, i] = A[j + i, j]`` (zeros
-    beyond the matrix), ``NPf >= n - 3 + W*(3b-1) + 2b + 1``,
-    ``LD = 2b + 1``.
-
-    Cross-substep dataflow within one iteration (all other window rows
-    are >= 2 chase steps apart): substep 2's window row ``b-1`` of slot
-    ``m`` is substep 0's window row 0 of slot ``m+1`` (read patch), and
-    the same row pair aliases in the write-back (substep 2 wins).
+    Iterations past ``nsweeps`` (tail padding of the last segment) are
+    no-ops: every slot is inactive there (``cnt = 0``) and the
+    sweep-start write is masked.
     """
+
+    # Slice-lattice formulation (v2): at chase time ``T = 3 it + tau``
+    # (``tau`` in {0,1,2}), slot ``m`` hosts sweep ``s = it - m`` at step
+    # ``t = 3 m + tau``, whose window starts at flat row
+    # ``1 + it + tau*b + m*(3b-1)``.  So ONE dynamic slice of height ``H``
+    # at row ``it`` covers the sweep-start column (row 0) and all three
+    # substeps' windows at *static* in-slice offsets — no gather/scatter
+    # ops anywhere.  Reflectors are emitted as per-iteration scan outputs
+    # ``ys [3, W, b]`` and compacted afterwards by index-mapped gathers
+    # (``_raw_index_map`` / ``gather_raw_rows``).
+    #
+    # ``flat``: ``[NPf, LD]`` with ``flat[j, i] = A[j + i, j]`` (zeros
+    # beyond the matrix), ``NPf >= last_it + W*(3b-1) + 2b + 1``,
+    # ``LD = 2b + 1``.
+    #
+    # Cross-substep dataflow within one iteration (all other window rows
+    # are >= 2 chase steps apart): substep 2's window row ``b-1`` of slot
+    # ``m`` is substep 0's window row 0 of slot ``m+1`` (read patch), and
+    # the same row pair aliases in the write-back (substep 2 wins).
     dt = flat.dtype
     LD = 2 * b + 1
     S = 3 * b - 1
@@ -200,25 +214,36 @@ def _wavefront_scan(flat, n: int, b: int):
     iota_ld = jnp.arange(LD, dtype=jnp.int32)
     m_arr = jnp.arange(W, dtype=jnp.int32)
 
-    v0 = jnp.zeros((W, b), dt)
-    tau0 = jnp.zeros((W,), dt)
-
     def active_mask(it, tau_sub: int):
         s = it - m_arr
         cnt_s = (n - 3 - jnp.maximum(s, 0)) // b + 1
         return (s >= 0) & (3 * m_arr + tau_sub < cnt_s)
 
-    def body(carry, it):
+    def body(carry, it_loc):
         flat, v, tau = carry
-        Z = lax.dynamic_slice(flat, (it, jnp.zeros((), it.dtype)), (H, LD))
+        it = it0 + it_loc
+        # padded iterations (last segment's tail) slice at the last REAL
+        # row: every slot is inactive there so the write-back is a
+        # bit-exact copy.  Using the raw ``it`` instead would rely on
+        # dynamic-slice clamping, and the read (height H) and write
+        # (height W*S+2) clamp at DIFFERENT rows — a one-row shift that
+        # corrupts d[n-1] (found the hard way, r4)
+        it_eff = jnp.minimum(it, nsweeps - 1)
+        Z = lax.dynamic_slice(flat, (it_eff, jnp.zeros((), it.dtype)),
+                              (H, LD))
 
         # ---- sweep s = it starts: reflector from column s ----
+        # (masked on the last segment's tail padding: no sweep starts at
+        # it >= nsweeps, and the row0 write would corrupt d/e rows)
+        start_ok = it < nsweeps
         v_s, tau_s, beta_s = _larfg_batched(Z[0:1, 1:1 + b])
         row0 = jnp.concatenate(
             [Z[0:1, 0:1], beta_s[:, None], jnp.zeros((1, b - 1), dt),
              Z[0:1, 1 + b:]], axis=1)
-        v = jnp.concatenate([v_s, v[1:]], axis=0)
-        tau = jnp.concatenate([tau_s, tau[1:]], axis=0)
+        row0 = jnp.where(start_ok, row0, Z[0:1])
+        v = jnp.concatenate([jnp.where(start_ok, v_s, 0), v[1:]], axis=0)
+        tau = jnp.concatenate([jnp.where(start_ok, tau_s, 0), tau[1:]],
+                              axis=0)
 
         def windows(off: int):
             return Z[off:off + W * S].reshape(W, S, LD)[:, :b, :]
@@ -255,17 +280,75 @@ def _wavefront_scan(flat, n: int, b: int):
             [row0, blocks.reshape(W * S, LD), Xn2[W - 1:, b - 1, :]],
             axis=0)                                     # [W*S + 2, LD]
         flat = lax.dynamic_update_slice(
-            flat, z_out, (it, jnp.zeros((), it.dtype)))
+            flat, z_out, (it_eff, jnp.zeros((), it.dtype)))
 
         # slot shift: at it+1, sweep it-m lives in slot m+1
         v = jnp.concatenate([jnp.zeros((1, b), dt), v[:-1]], axis=0)
         tau = jnp.concatenate([jnp.zeros((1,), dt), tau[:-1]], axis=0)
         return (flat, v, tau), jnp.stack([vr0, vr1, vr2])
 
-    (flat, _, _), ys = lax.scan(
-        body, (flat, v0, tau0),
-        jnp.arange(max(nsweeps, 0), dtype=jnp.int32))
-    return flat, ys.reshape(max(nsweeps, 0) * 3 * W, b)
+    (flat, v, tau), ys = lax.scan(
+        body, (flat, v, tau), jnp.arange(niter, dtype=jnp.int32))
+    return flat, v, tau, ys.reshape(niter * 3 * W, b)
+
+
+#: cap on any single stacked scan-output buffer (see the >2^32 crash note
+#: in :func:`_wavefront_scan_seg`); override via DLAF_WAVEFRONT_SEG_BYTES
+_SEG_BYTES_DEFAULT = 1 << 30
+
+
+def _segment_iters(n: int, b: int, itemsize: int) -> int:
+    """Iterations per segment so one segment's ys stays under the cap."""
+    import os
+    cap = int(os.environ.get("DLAF_WAVEFRONT_SEG_BYTES",
+                             _SEG_BYTES_DEFAULT))
+    W = _wavefront_width(n, b)
+    per_iter = 3 * W * b * itemsize
+    nsweeps = max(n - 2, 0)
+    niter = max(1, cap // max(per_iter, 1))
+    nseg = -(-nsweeps // niter) if nsweeps else 1
+    return -(-nsweeps // nseg) if nsweeps else 1    # balance segments
+
+
+def _wavefront_scan(flat, n: int, b: int):
+    """Run the whole chase as donated segment jits; returns
+    ``(flat_out, [ys segments], rows_per_segment)``."""
+    dt = flat.dtype
+    W = _wavefront_width(n, b)
+    nsweeps = max(n - 2, 0)
+    niter = _segment_iters(n, b, np.dtype(dt).itemsize)
+    v = jnp.zeros((W, b), dt)
+    tau = jnp.zeros((W,), dt)
+    segs = []
+    for it0 in range(0, max(nsweeps, 1), niter):
+        flat, v, tau, ys = _wavefront_scan_seg(
+            flat, v, tau, jnp.int32(it0), n=n, b=b, niter=niter)
+        segs.append(ys)
+    return flat, segs, niter * 3 * W
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _gather_seg_jit(out, seg, loc):
+    """``out[r] = seg[loc[r]]`` where ``0 <= loc[r] < len(seg)`` (rows
+    outside this segment keep their current value)."""
+    nrows = seg.shape[0]
+    ok = (loc >= 0) & (loc < nrows)
+    part = jnp.take(seg, jnp.clip(loc, 0, nrows - 1), axis=0)
+    return jnp.where(ok[:, None], part, out)
+
+
+def gather_raw_rows(segs, idx: np.ndarray):
+    """Gather rows ``idx`` (global raw-stream indices) from the segmented
+    emission-order stream; consumes (donates) every segment."""
+    b = segs[0].shape[1]
+    seg_rows = segs[0].shape[0]
+    flat_idx = np.asarray(idx, np.int64).reshape(-1)
+    out = jnp.zeros((flat_idx.shape[0], b), segs[0].dtype)
+    for k, seg in enumerate(segs):
+        loc = jnp.asarray((flat_idx - k * seg_rows).astype(np.int32))
+        out = _gather_seg_jit(out, seg, loc)
+    segs.clear()
+    return out.reshape(tuple(np.shape(idx)) + (b,))
 
 
 @lru_cache(maxsize=8)
@@ -284,7 +367,8 @@ def _raw_index_map(n: int, b: int) -> np.ndarray:
 @partial(jax.jit, static_argnames=("n", "b"))
 def _band_layout(ab, n: int, b: int):
     """``[b+1, n]`` extract-band layout -> padded flat ``[NPf, 2b+1]``
-    (tall enough for the last iteration's slice)."""
+    (tall enough for the last real iteration's slice; segment-padded
+    iterations re-slice the last real row, see ``it_eff``)."""
     W = _wavefront_width(n, b)
     NPf = n + W * (3 * b - 1) + 2 * b + 1
     band = jnp.zeros((NPf, 2 * b + 1), ab.dtype)
@@ -297,10 +381,12 @@ def wavefront_band_to_tridiagonal(ab, band: int) -> HHChaseResult:
     ``ab``: device (or host) array ``[band+1, n]`` lower-banded storage
     (``ab[i, j] = A[j+i, j]``), real dtype.  Returns the same
     :class:`HHChaseResult` contract as the host chase, with the
-    reflector stream held in emission order (``V_raw``/``V_raw_map``):
-    ``resolve_V()`` compacts to the sweep-major ``[R, b]`` layout, or
-    ``bt_hh_window_stream`` gathers straight to window order (one
-    composed gather, no intermediate sweep-major buffer).
+    reflector stream held in emission order as a LIST of equal-size
+    segments (``V_raw``; see the segment-size rationale in
+    :func:`_wavefront_scan_seg`) plus the sweep-major -> raw index map
+    (``V_raw_map``): ``resolve_V()`` compacts to the sweep-major
+    ``[R, b]`` layout, or ``bt_hh_window_stream`` gathers straight to
+    window order (composed gathers, no sweep-major intermediate).
     """
     bp1, n = ab.shape
     if bp1 != band + 1:
@@ -317,9 +403,9 @@ def wavefront_band_to_tridiagonal(ab, band: int) -> HHChaseResult:
         return HHChaseResult(d, e, jnp.zeros((R, max(band, 1)), ab.dtype),
                              n, band, None)
     flat = _band_layout(jnp.asarray(ab), n, band)
-    flat_out, ys = _wavefront_scan(flat, n, band)
+    flat_out, segs, _ = _wavefront_scan(flat, n, band)
     de = np.asarray(flat_out[:n, :2])       # one small fetch
     d = np.asarray(de[:, 0], np.float64)
     e = np.asarray(de[: n - 1, 1], np.float64)
     return HHChaseResult(d, e, None, n, band, None,
-                         V_raw=ys, V_raw_map=_raw_index_map(n, band))
+                         V_raw=segs, V_raw_map=_raw_index_map(n, band))

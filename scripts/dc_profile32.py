@@ -33,11 +33,11 @@ def main():
     e = jnp.asarray(rng.standard_normal(m), dt)
     eps = jnp.asarray(np.finfo(np.float32).eps, dt)
 
-    merge = (0, m // 2, m)
-    jits = ts._dc_stage_jits(m, merge, 2048, None, lean=True)
+    jits = ts._dc_stage_jits(m, m, m // 2, True, 2048, None, lean=True)
 
-    info = jits["analysis"](lam, Q, e)
-    t = slope_time(lambda l, q: jits["analysis"](l, q, e), lam, Q,
+    i0 = jnp.int32(0)
+    info = jits["analysis"](lam, Q, e, i0)
+    t = slope_time(lambda l, q: jits["analysis"](l, q, e, i0), lam, Q,
                    k_hi=3, reps=2)
     print(f"analysis (deflate+secular+perm, m={m}): {t:.3f}s", flush=True)
 

@@ -31,9 +31,11 @@ def main():
         _ = res2.d
         t2 = time.perf_counter()
         gf = 6 * n * n * b / (t2 - t1) / 1e9
+        vshape = ([s.shape for s in res.V_raw]
+                  if isinstance(res.V_raw, list) else
+                  res.V_raw.shape if res.V_raw is not None else res.V.shape)
         print(f"n={n} b={b}: cold {t1 - t0:.1f}s  warm {t2 - t1:.2f}s "
-              f"({gf:.0f} GF/s model)  V raw: {res.V_raw.shape if res.V_raw is not None else res.V.shape}",
-              flush=True)
+              f"({gf:.0f} GF/s model)  V raw: {vshape}", flush=True)
 
 
 if __name__ == "__main__":

@@ -116,3 +116,29 @@ def test_random_spectrum_deflation_rotation():
         lamn = np.asarray(lam)
         assert np.abs(T @ Qn - Qn * lamn[None, :]).max() < 2e-4
         assert np.abs(np.sort(lamn) - np.linalg.eigvalsh(T)).max() < 2e-4
+
+
+def test_sequential_fori_group_path(monkeypatch):
+    """Big same-size merge groups run as a fori_loop over offsets (one
+    traced body per size, r4 program-size fix); force that path at a
+    test-size threshold and compare against the batched result."""
+    from dlaf_tpu.algorithms.eigensolver import tridiag_solver as ts
+
+    rng = np.random.default_rng(23)
+    n = 96
+    d = rng.uniform(-1, 1, n)
+    e = rng.uniform(-1, 1, n - 1)
+    lam0, q0 = (np.asarray(a) for a in tridiagonal_eigensolver(
+        np.asarray(d), np.asarray(e), leaf_size=8))
+    monkeypatch.setattr(ts, "_BATCH_MAX_M", 8)   # 16/32/48-size groups -> fori
+    ts._dc_small_jit.clear_cache()
+    try:
+        lam1, q1 = (np.asarray(a) for a in tridiagonal_eigensolver(
+            np.asarray(d), np.asarray(e), leaf_size=8))
+    finally:
+        ts._dc_small_jit.clear_cache()
+    np.testing.assert_allclose(lam1, lam0, rtol=0, atol=1e-13)
+    t = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    tol = 600 * n * np.finfo(np.float64).eps * max(1.0, np.abs(t).max())
+    np.testing.assert_allclose(t @ q1, q1 * lam1[None, :], rtol=0, atol=tol)
+    np.testing.assert_allclose(q1.T @ q1, np.eye(n), rtol=0, atol=tol)

@@ -141,6 +141,37 @@ def test_raw_window_stream_matches_compacted():
     np.testing.assert_allclose(sw_raw, sw_compact, atol=0)
 
 
+def test_segmented_scan_matches_single_segment(monkeypatch):
+    """Forcing tiny segments (the n=32768 >2^32 crash mitigation) must
+    reproduce the single-segment trajectory exactly, through both the
+    compacting resolve_V and the raw->window gather."""
+    from dlaf_tpu.algorithms.eigensolver.bt_hh import bt_hh_window_stream
+
+    n, b = 257, 8
+    ab = random_band(n, b, np.float64, seed=11)
+    res_one = wavefront_band_to_tridiagonal(ab, b)
+    V_one = np.asarray(res_one.resolve_V())
+    d1, e1 = res_one.d, res_one.e
+
+    # per-iteration emission = 3*W*b*8 bytes; cap at ~40 iterations
+    from dlaf_tpu.algorithms.eigensolver.wavefront_chase import (
+        _wavefront_width)
+    W = _wavefront_width(n, b)
+    monkeypatch.setenv("DLAF_WAVEFRONT_SEG_BYTES", str(40 * 3 * W * b * 8))
+    res = wavefront_band_to_tridiagonal(ab, b)
+    assert isinstance(res.V_raw, list) and len(res.V_raw) >= 4
+    np.testing.assert_allclose(res.d, d1, atol=0)
+    np.testing.assert_allclose(res.e, e1, atol=0)
+    np.testing.assert_allclose(np.asarray(res.resolve_V()), V_one, atol=0)
+
+    res2 = wavefront_band_to_tridiagonal(ab, b)
+    sw_seg = np.asarray(bt_hh_window_stream(res2, g=4))
+    monkeypatch.delenv("DLAF_WAVEFRONT_SEG_BYTES")
+    res3 = wavefront_band_to_tridiagonal(ab, b)
+    sw_one = np.asarray(bt_hh_window_stream(res3, g=4))
+    np.testing.assert_allclose(sw_seg, sw_one, atol=0)
+
+
 def test_eigensolver_end_to_end_wavefront():
     """Full HEEV through the driver with DLAF_B2T_ALGO=wavefront."""
     import jax.numpy as jnp
