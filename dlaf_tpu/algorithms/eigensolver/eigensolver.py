@@ -114,11 +114,23 @@ def hermitian_eigensolver(
             print(f"  [stage] {name}: {dt:.2f}s", flush=True)
 
     adtype, ablock, agrid = a.dtype, a.block_size, a.grid
-    mat_hh, taus = reduction_to_band(a, band, donate=donate_input)
+    import jax
+
+    # two-stage reduction (SBR): full -> sbr_band with wide MXU-friendly
+    # panels, then a block bulge chase sbr_band -> band (the reference's
+    # band-size knobs adapted to the MXU contraction-depth cliff;
+    # band_reduction.py).  Single-device only for now (the dense stage-2
+    # scan has no sharded dimension).
+    sbr_b1 = int(tp.eigensolver_sbr_band)
+    use_sbr = (sbr_b1 > band and n > sbr_b1 + 1
+               and jax.process_count() == 1
+               and (agrid is None or agrid.mesh.size == 1))
+    red_band = sbr_b1 if use_sbr else band
+
+    mat_hh, taus = reduction_to_band(a, red_band, donate=donate_input)
     if donate_input:
         a = None          # buffer donated into the reduction jit
     mark("reduction_to_band", mat_hh.data)
-    import jax
     b2t_algo = tp.band_to_tridiag_algo
     use_wavefront = (b2t_algo == "wavefront"
                      and not np.issubdtype(np.dtype(adtype),
@@ -127,18 +139,35 @@ def hermitian_eigensolver(
                      # a multi-device mesh would execute the replicated
                      # scan redundantly on every device (no sharded dim)
                      and (agrid is None or agrid.mesh.size == 1))
-    if use_wavefront:
-        ab = extract_band(mat_hh, band)     # stays on device
-    else:
-        ab = np.asarray(extract_band(mat_hh, band))
-    mark("extract_band")
     use_hh = b2t_algo != "givens"
-    if use_hh and col_shard is None:
-        # mat_hh's band + mirror are dead weight from here on: keep only
-        # the packed V panels (~n^2/2 values) through the BT stages
-        from .bt_reduction_to_band import pack_hh_panels
-        mat_hh = pack_hh_panels(mat_hh, band, donate=True)
-        mark("pack_hh_panels")
+    sbr_res = None
+    if use_sbr:
+        from .band_reduction import (band_dense_from_reduction,
+                                     band_to_band, extract_band_dense)
+        dense = band_dense_from_reduction(natural_exact(mat_hh), red_band)
+        if use_hh and col_shard is None:
+            from .bt_reduction_to_band import pack_hh_panels
+            mat_hh = pack_hh_panels(mat_hh, red_band, donate=True)
+            mark("pack_hh_panels")
+        dense, sbr_res = band_to_band(dense, n, h=red_band, g=band)
+        mark("band_to_band (SBR stage 2)", dense)
+        ab = extract_band_dense(dense, band)
+        dense = None
+        if not use_wavefront:
+            ab = np.asarray(ab)
+        mark("extract_band")
+    else:
+        if use_wavefront:
+            ab = extract_band(mat_hh, band)     # stays on device
+        else:
+            ab = np.asarray(extract_band(mat_hh, band))
+        mark("extract_band")
+        if use_hh and col_shard is None:
+            # mat_hh's band + mirror are dead weight from here on: keep
+            # only the packed V panels (~n^2/2) through the BT stages
+            from .bt_reduction_to_band import pack_hh_panels
+            mat_hh = pack_hh_panels(mat_hh, red_band, donate=True)
+            mark("pack_hh_panels")
     if use_wavefront:
         # device-resident chase: no band download, no host compute, no
         # reflector-stream upload (wavefront_chase.py).  Opt-in
@@ -211,7 +240,15 @@ def hermitian_eigensolver(
     mark("bt_band_to_tridiag", e2)
     if e2.dtype != adtype:
         e2 = e2.astype(adtype)
-    e = bt_reduction_to_band(band, e2, mat_hh, taus, e_sharding=col_shard,
+    if sbr_res is not None:
+        # SBR stage-2 back-transform (between the chase BT and the
+        # stage-1 panel BT: E = Q1 (Q2 (Q3 E_tridiag)))
+        from .band_reduction import bt_band_to_band
+        e2 = bt_band_to_band(sbr_res, e2, donate=True)
+        sbr_res = None
+        mark("bt_band_to_band (SBR)", e2)
+    e = bt_reduction_to_band(red_band, e2, mat_hh, taus,
+                             e_sharding=col_shard,
                              donate=use_hh and col_shard is None)
     e2 = None
     mark("bt_reduction_to_band", e)

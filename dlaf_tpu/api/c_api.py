@@ -32,7 +32,11 @@ _initialized = False
 
 @dataclasses.dataclass
 class DLAF_descriptor:
-    """ScaLAPACK-style descriptor (``dlaf_c/desc.h:16``)."""
+    """ScaLAPACK-style descriptor (``dlaf_c/desc.h:16``).
+
+    ``m, n``: global buffer dims; ``(i, j)``: 1-based operand origin;
+    ``subm/subn``: operand dims (None = everything from ``(i, j)`` on).
+    """
 
     m: int
     n: int
@@ -43,6 +47,8 @@ class DLAF_descriptor:
     i: int = 1          # 1-based submatrix origin, ScaLAPACK convention
     j: int = 1
     ld: int = 0
+    subm: Optional[int] = None
+    subn: Optional[int] = None
 
     def __post_init__(self):
         if self.i < 1 or self.j < 1:
@@ -51,6 +57,24 @@ class DLAF_descriptor:
             raise ValueError("invalid source rank offsets")
         if self.mb != self.nb:
             raise ValueError("square blocks required")
+        if self.subm is not None and self.i - 1 + self.subm > self.m:
+            raise ValueError("operand exceeds the global matrix")
+        if self.subn is not None and self.j - 1 + self.subn > self.n:
+            raise ValueError("operand exceeds the global matrix")
+
+
+def make_dlaf_descriptor(m: int, n: int, i: int, j: int,
+                         desc) -> DLAF_descriptor:
+    """ScaLAPACK 9-int descriptor -> :class:`DLAF_descriptor`
+    (``dlaf_c/utils.h: make_dlaf_descriptor``).  ``desc`` =
+    ``[dtype, ctxt, M, N, mb, nb, rsrc, csrc, lld]``; ``m, n`` are the
+    operand (submatrix) dims and ``(i, j)`` its 1-based origin."""
+    d = [int(x) for x in desc]
+    if len(d) != 9:
+        raise ValueError("ScaLAPACK descriptor must have 9 entries")
+    return DLAF_descriptor(m=d[2], n=d[3], mb=d[4], nb=d[5],
+                           isrc=d[6], jsrc=d[7], i=i, j=j, ld=d[8],
+                           subm=m, subn=n)
 
 
 def dlaf_initialize(*argv_lists) -> None:
@@ -134,14 +158,18 @@ def _wrap(a: np.ndarray, desc: DLAF_descriptor, grid):
     """User buffer (column-major natural order) -> DistMatrix.
 
     Honors the full ScaLAPACK descriptor: ``(i, j)`` select the operand
-    submatrix of the buffer's global matrix (1-based) and ``isrc/jsrc``
-    place its top-left block on that source rank (reference
-    ``make_layout``, ``src/c_api/utils.h:19-20``).
+    submatrix of the buffer's global matrix (1-based), ``subm/subn``
+    its dims, and ``isrc/jsrc`` place its top-left block on that source
+    rank (reference ``make_layout``, ``src/c_api/utils.h:19-20``).
     """
     from ..matrix.matrix import DistMatrix
     if a.shape != (desc.m, desc.n):
         a = np.asarray(a).reshape(desc.m, desc.n, order="F")
-    sub = a[desc.i - 1:, desc.j - 1:]
+    i1 = desc.i - 1 + (desc.subm if desc.subm is not None else
+                       desc.m - desc.i + 1)
+    j1 = desc.j - 1 + (desc.subn if desc.subn is not None else
+                       desc.n - desc.j + 1)
+    sub = a[desc.i - 1:i1, desc.j - 1:j1]
     gs = (1, 1) if grid is None else grid.shape
     src = (desc.isrc % gs[0], desc.jsrc % gs[1])
     return DistMatrix.from_natural(jnp.asarray(np.ascontiguousarray(sub)),
@@ -178,10 +206,12 @@ def _cholesky(ctx, uplo, a, desc):
 
 
 def _cholesky_inverse(ctx, uplo, a, desc):
-    from .. import cholesky_inverse
+    """Reference semantics (``dlaf_c/inverse/cholesky.h``): ``a`` holds
+    the CHOLESKY FACTOR on entry (potri, not potrf+potri)."""
+    from ..algorithms.inverse.cholesky import inverse_from_cholesky_factor
     grid = _grid_from_context(ctx)
     mat = _wrap(a, desc, grid)
-    out = cholesky_inverse(uplo.upper(), mat)
+    out = inverse_from_cholesky_factor(uplo.upper(), mat)
     _writeback(a, out, desc)
     return 0
 
@@ -197,17 +227,56 @@ def _eigensolver(ctx, uplo, a, desca, w, z, descz, n_ev=None):
     return 0
 
 
+def _eigensolver_partial(ctx, uplo, a, desca, w, z, descz,
+                         eigenvalues_index_begin, eigenvalues_index_end):
+    """Partial-spectrum entry (reference
+    ``dlaf_c/eigensolver/eigensolver.h:44-67``: begin must be 0)."""
+    if int(eigenvalues_index_begin) != 0:
+        raise ValueError("eigenvalues_index_begin must be 0 (reference "
+                         "contract)")
+    return _eigensolver(ctx, uplo, a, desca, w, z, descz,
+                        n_ev=int(eigenvalues_index_end))
+
+
 def _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz,
-                     factorized=False):
+                     factorized=False, n_ev=None):
     from .. import hermitian_generalized_eigensolver
     grid = _grid_from_context(ctx)
     ma = _wrap(a, desca, grid)
     mb = _wrap(b, descb, grid)
-    lam, v = hermitian_generalized_eigensolver(ma, mb, uplo.upper(),
-                                               factorized=factorized)
+    lam, v = hermitian_generalized_eigensolver(
+        ma, mb, uplo.upper(), factorized=factorized,
+        eigenvalues_index_end=n_ev)
     w[: len(np.asarray(lam))] = np.asarray(lam)
-    _writeback(z, v, descz)
+    _writeback(z[:, : v.size[1]] if z.ndim == 2 else z, v, descz)
     return 0
+
+
+def _gen_eigensolver_factorized(ctx, uplo, a, desca, b, descb, w, z,
+                                descz):
+    return _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz,
+                            factorized=True)
+
+
+def _gen_eigensolver_partial(ctx, uplo, a, desca, b, descb, w, z, descz,
+                             eigenvalues_index_begin,
+                             eigenvalues_index_end, factorized=False):
+    if int(eigenvalues_index_begin) != 0:
+        raise ValueError("eigenvalues_index_begin must be 0 (reference "
+                         "contract)")
+    return _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz,
+                            factorized=factorized,
+                            n_ev=int(eigenvalues_index_end))
+
+
+def _gen_eigensolver_partial_factorized(ctx, uplo, a, desca, b, descb,
+                                        w, z, descz,
+                                        eigenvalues_index_begin,
+                                        eigenvalues_index_end):
+    return _gen_eigensolver_partial(ctx, uplo, a, desca, b, descb, w, z,
+                                    descz, eigenvalues_index_begin,
+                                    eigenvalues_index_end,
+                                    factorized=True)
 
 
 def _make_typed(fn, dtype):
@@ -221,7 +290,9 @@ def _make_typed(fn, dtype):
 
     def typed(*args, **kw):
         for a in list(args) + list(kw.values()):
-            if isinstance(a, np.ndarray) and a.dtype not in (want, rdt):
+            if (isinstance(a, np.ndarray)
+                    and np.issubdtype(a.dtype, np.inexact)
+                    and a.dtype not in (want, rdt)):
                 raise TypeError(
                     f"buffer dtype {a.dtype} does not match entry point "
                     f"dtype {want}")
@@ -233,56 +304,168 @@ def _make_typed(fn, dtype):
 # reference naming: dlaf_<algo>_<s|d|c|z> (``dlaf_c/*/*.h``)
 for _t, _dt in (("s", np.float32), ("d", np.float64),
                 ("c", np.complex64), ("z", np.complex128)):
-    globals()[f"dlaf_cholesky_{_t}"] = _make_typed(_cholesky, _dt)
-    globals()[f"dlaf_cholesky_inverse_{_t}"] = \
+    globals()[f"dlaf_cholesky_factorization_{_t}"] = \
+        _make_typed(_cholesky, _dt)
+    # historical alias of this build (kept for callers of round <= 3)
+    globals()[f"dlaf_cholesky_{_t}"] = \
+        globals()[f"dlaf_cholesky_factorization_{_t}"]
+    globals()[f"dlaf_inverse_from_cholesky_factor_{_t}"] = \
         _make_typed(_cholesky_inverse, _dt)
-    if _dt in (np.float32, np.float64):
-        globals()[f"dlaf_symmetric_eigensolver_{_t}"] = \
-            _make_typed(_eigensolver, _dt)
-        globals()[f"dlaf_symmetric_generalized_eigensolver_{_t}"] = \
-            _make_typed(_gen_eigensolver, _dt)
-    else:
-        globals()[f"dlaf_hermitian_eigensolver_{_t}"] = \
-            _make_typed(_eigensolver, _dt)
-        globals()[f"dlaf_hermitian_generalized_eigensolver_{_t}"] = \
-            _make_typed(_gen_eigensolver, _dt)
+    globals()[f"dlaf_cholesky_inverse_{_t}"] = \
+        globals()[f"dlaf_inverse_from_cholesky_factor_{_t}"]
+    _kind = ("symmetric" if _dt in (np.float32, np.float64)
+             else "hermitian")
+    globals()[f"dlaf_{_kind}_eigensolver_{_t}"] = \
+        _make_typed(_eigensolver, _dt)
+    globals()[f"dlaf_{_kind}_eigensolver_partial_spectrum_{_t}"] = \
+        _make_typed(_eigensolver_partial, _dt)
+    globals()[f"dlaf_{_kind}_generalized_eigensolver_{_t}"] = \
+        _make_typed(_gen_eigensolver, _dt)
+    globals()[f"dlaf_{_kind}_generalized_eigensolver_factorized_{_t}"] = \
+        _make_typed(_gen_eigensolver_factorized, _dt)
+    globals()[
+        f"dlaf_{_kind}_generalized_eigensolver_partial_spectrum_{_t}"] = \
+        _make_typed(_gen_eigensolver_partial, _dt)
+    globals()[f"dlaf_{_kind}_generalized_eigensolver_partial_spectrum"
+              f"_factorized_{_t}"] = \
+        _make_typed(_gen_eigensolver_partial_factorized, _dt)
 
 
 # -- ScaLAPACK-style wrappers -------------------------------------------------
+#
+# Reference calling shape (``dlaf_c/*/*.h`` DLAF_WITH_SCALAPACK section):
+# descriptors are ScaLAPACK 9-int arrays whose ctxt entry resolves the
+# grid (register handles with dlaf_create_grid / dlaf_create_grid_from
+# _blacs); a DLAF_descriptor plus an explicit ``ctx=`` keyword is also
+# accepted.  Unlike the reference, operand origins ia/ja != 1 ARE
+# supported (``Distribution.sub_distribution`` handles the offsets).
 
 def _sca_desc(n, nb, lld=None):
     return DLAF_descriptor(n, n, nb, nb, ld=lld or n)
 
 
-def dlaf_pdpotrf(uplo, n, a, ia, ja, desca: DLAF_descriptor, ctx,
-                 info=None):
-    """``dlaf_pdpotrf`` equivalent (ScaLAPACK calling shape)."""
-    if (ia, ja) != (1, 1):
-        raise NotImplementedError("submatrix offsets")
-    rc = _cholesky(ctx, uplo, a, desca)
+def _norm_desc(mop, nop, i, j, desc, ctx):
+    """(operand dims, 1-based origin, 9-int or DLAF descriptor, explicit
+    ctx) -> (DLAF_descriptor, resolved ctx)."""
+    if isinstance(desc, DLAF_descriptor):
+        d = dataclasses.replace(desc, i=int(i), j=int(j),
+                                subm=int(mop), subn=int(nop))
+        if ctx is None:
+            raise ValueError("DLAF_descriptor form requires ctx=")
+        return d, ctx
+    d = make_dlaf_descriptor(int(mop), int(nop), int(i), int(j), desc)
+    return d, (int(desc[1]) if ctx is None else ctx)
+
+
+def _set_info(info, rc):
     if info is not None:
         info[0] = rc
     return rc
 
 
-def dlaf_pdsyevd(uplo, n, a, desca: DLAF_descriptor, w, z,
-                 descz: DLAF_descriptor, ctx, info=None):
-    """``dlaf_pdsyevd`` equivalent."""
-    rc = _eigensolver(ctx, uplo, a, desca, w, z, descz)
-    if info is not None:
-        info[0] = rc
-    return rc
+def _sca_potrf(uplo, n, a, ia, ja, desca, info=None, *, ctx=None):
+    d, c = _norm_desc(n, n, ia, ja, desca, ctx)
+    return _set_info(info, _cholesky(c, uplo, a, d))
 
 
-def dlaf_pzheevd(uplo, n, a, desca, w, z, descz, ctx, info=None):
-    rc = _eigensolver(ctx, uplo, a, desca, w, z, descz)
-    if info is not None:
-        info[0] = rc
-    return rc
+def _sca_potri(uplo, n, a, ia, ja, desca, info=None, *, ctx=None):
+    d, c = _norm_desc(n, n, ia, ja, desca, ctx)
+    return _set_info(info, _cholesky_inverse(c, uplo, a, d))
+
+
+def _sca_evd(uplo, n, a, ia, ja, desca, w, z, iz, jz, descz,
+             info=None, *, ctx=None):
+    da, c = _norm_desc(n, n, ia, ja, desca, ctx)
+    dz, _ = _norm_desc(n, n, iz, jz, descz, c)
+    return _set_info(info, _eigensolver(c, uplo, a, da, w, z, dz))
+
+
+def _sca_evd_partial(uplo, n, a, ia, ja, desca, w, z, iz, jz, descz,
+                     eigenvalues_index_begin, eigenvalues_index_end,
+                     info=None, *, ctx=None):
+    da, c = _norm_desc(n, n, ia, ja, desca, ctx)
+    dz, _ = _norm_desc(n, n, iz, jz, descz, c)
+    return _set_info(info, _eigensolver_partial(
+        c, uplo, a, da, w, z, dz, eigenvalues_index_begin,
+        eigenvalues_index_end))
+
+
+def _sca_gvd(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z, iz, jz,
+             descz, info=None, *, ctx=None, factorized=False):
+    da, c = _norm_desc(n, n, ia, ja, desca, ctx)
+    db, _ = _norm_desc(n, n, ib, jb, descb, c)
+    dz, _ = _norm_desc(n, n, iz, jz, descz, c)
+    return _set_info(info, _gen_eigensolver(
+        c, uplo, a, da, b, db, w, z, dz, factorized=factorized))
+
+
+def _sca_gvd_factorized(*args, **kw):
+    kw["factorized"] = True
+    return _sca_gvd(*args, **kw)
+
+
+def _sca_gvd_partial(uplo, n, a, ia, ja, desca, b, ib, jb, descb, w, z,
+                     iz, jz, descz, eigenvalues_index_begin,
+                     eigenvalues_index_end, info=None, *, ctx=None,
+                     factorized=False):
+    da, c = _norm_desc(n, n, ia, ja, desca, ctx)
+    db, _ = _norm_desc(n, n, ib, jb, descb, c)
+    dz, _ = _norm_desc(n, n, iz, jz, descz, c)
+    return _set_info(info, _gen_eigensolver_partial(
+        c, uplo, a, da, b, db, w, z, dz, eigenvalues_index_begin,
+        eigenvalues_index_end, factorized=factorized))
+
+
+def _sca_gvd_partial_factorized(*args, **kw):
+    kw["factorized"] = True
+    return _sca_gvd_partial(*args, **kw)
+
+
+for _t, _dt, _ev in (("s", np.float32, "syevd"), ("d", np.float64, "syevd"),
+                     ("c", np.complex64, "heevd"),
+                     ("z", np.complex128, "heevd")):
+    _gv = "sygvd" if _ev == "syevd" else "hegvd"
+    globals()[f"dlaf_p{_t}potrf"] = _make_typed(_sca_potrf, _dt)
+    globals()[f"dlaf_p{_t}potri"] = _make_typed(_sca_potri, _dt)
+    globals()[f"dlaf_p{_t}{_ev}"] = _make_typed(_sca_evd, _dt)
+    globals()[f"dlaf_p{_t}{_ev}_partial_spectrum"] = \
+        _make_typed(_sca_evd_partial, _dt)
+    globals()[f"dlaf_p{_t}{_gv}"] = _make_typed(_sca_gvd, _dt)
+    globals()[f"dlaf_p{_t}{_gv}_factorized"] = \
+        _make_typed(_sca_gvd_factorized, _dt)
+    globals()[f"dlaf_p{_t}{_gv}_partial_spectrum"] = \
+        _make_typed(_sca_gvd_partial, _dt)
+    globals()[f"dlaf_p{_t}{_gv}_partial_spectrum_factorized"] = \
+        _make_typed(_sca_gvd_partial_factorized, _dt)
 
 
 def dlaf_pdsygvx(uplo, n, a, desca, b, descb, w, z, descz, ctx, info=None):
+    """Deprecated round-1 shape (kept for compatibility; the reference
+    set is the dlaf_p{s,d,c,z}{sy,he}gvd family above)."""
     rc = _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz)
     if info is not None:
         info[0] = rc
     return rc
+
+
+def dlaf_free_all_grids() -> None:
+    """``dlaf_free_all_grids`` (``dlaf_c/grid.h:45``)."""
+    _grids.clear()
+
+
+def dlaf_create_grid_from_blacs(blacs_ctxt: int, nprow: int = None,
+                                npcol: int = None,
+                                order: str = "R") -> None:
+    """Register a grid under an EXISTING (BLACS) context handle
+    (``dlaf_c/grid.h:77``).  There is no BLACS runtime to query here, so
+    the grid dims must be passed explicitly; the handle is then usable
+    as the ctxt entry of ScaLAPACK descriptors."""
+    if nprow is None or npcol is None:
+        raise ValueError("no BLACS runtime to query: pass nprow/npcol")
+    if order.upper() not in ("R", "C"):
+        raise ValueError("order must be 'R' or 'C'")
+    from ..parallel.grid import Grid
+    grid = None
+    if (nprow, npcol) != (1, 1):
+        grid = Grid((nprow, npcol))
+    _grids[int(blacs_ctxt)] = grid

@@ -109,92 +109,176 @@ void dlaf_free_grid(int ctx) {
 }
 
 static int chol(int ctx, char uplo, const char* typ, void* a,
-                struct DLAF_descriptor d) {
-  return call_int("cholesky", "(iisLiiiii)", ctx, static_cast<int>(uplo),
+                struct DLAF_descriptor d, int nop) {
+  return call_int("cholesky", "(iisLiiiiiiii)", ctx, static_cast<int>(uplo),
                   typ, reinterpret_cast<long long>(a), d.m, d.n, d.mb,
-                  d.nb, d.ld);
-}
-
-int dlaf_cholesky_s(int ctx, char uplo, float* a, struct DLAF_descriptor d) {
-  return chol(ctx, uplo, "s", a, d);
-}
-
-int dlaf_cholesky_d(int ctx, char uplo, double* a,
-                    struct DLAF_descriptor d) {
-  return chol(ctx, uplo, "d", a, d);
+                  d.nb, d.ld, d.i > 0 ? d.i : 1, d.j > 0 ? d.j : 1, nop);
 }
 
 static int chol_inv(int ctx, char uplo, const char* typ, void* a,
-                    struct DLAF_descriptor d) {
-  return call_int("cholesky_inverse", "(iisLiiiii)", ctx,
+                    struct DLAF_descriptor d, int nop) {
+  return call_int("cholesky_inverse", "(iisLiiiiiiii)", ctx,
                   static_cast<int>(uplo), typ,
                   reinterpret_cast<long long>(a), d.m, d.n, d.mb, d.nb,
-                  d.ld);
-}
-
-int dlaf_cholesky_inverse_s(int ctx, char uplo, float* a,
-                            struct DLAF_descriptor d) {
-  return chol_inv(ctx, uplo, "s", a, d);
-}
-
-int dlaf_cholesky_inverse_d(int ctx, char uplo, double* a,
-                            struct DLAF_descriptor d) {
-  return chol_inv(ctx, uplo, "d", a, d);
+                  d.ld, d.i > 0 ? d.i : 1, d.j > 0 ? d.j : 1, nop);
 }
 
 static int eig(int ctx, char uplo, const char* typ, void* a, void* w,
                void* z, struct DLAF_descriptor desca,
-               struct DLAF_descriptor descz) {
-  return call_int("eigensolver", "(iisLLLiiiii)", ctx,
+               struct DLAF_descriptor descz, long long n_ev) {
+  return call_int("eigensolver", "(iisLLLiiiiiL)", ctx,
                   static_cast<int>(uplo), typ,
                   reinterpret_cast<long long>(a),
                   reinterpret_cast<long long>(w),
                   reinterpret_cast<long long>(z), desca.n, desca.mb,
-                  desca.nb, desca.ld, descz.ld);
+                  desca.nb, desca.ld, descz.ld, n_ev);
 }
 
-int dlaf_symmetric_eigensolver_s(int ctx, char uplo, float* a,
-                                 struct DLAF_descriptor desca, float* w,
-                                 float* z, struct DLAF_descriptor descz) {
-  return eig(ctx, uplo, "s", a, w, z, desca, descz);
+static int gev(int ctx, char uplo, const char* typ, void* a, void* b,
+               void* w, void* z, struct DLAF_descriptor desca,
+               struct DLAF_descriptor descb, struct DLAF_descriptor descz,
+               int factorized, long long n_ev) {
+  return call_int("gen_eigensolver", "(iisLLLLiiiiiiiL)", ctx,
+                  static_cast<int>(uplo), typ,
+                  reinterpret_cast<long long>(a),
+                  reinterpret_cast<long long>(b),
+                  reinterpret_cast<long long>(w),
+                  reinterpret_cast<long long>(z), desca.n, desca.mb,
+                  desca.nb, desca.ld, descb.ld, descz.ld, factorized,
+                  n_ev);
 }
 
-int dlaf_symmetric_eigensolver_d(int ctx, char uplo, double* a,
-                                 struct DLAF_descriptor desca, double* w,
-                                 double* z, struct DLAF_descriptor descz) {
-  return eig(ctx, uplo, "d", a, w, z, desca, descz);
+// per-type entries: reference names (dlaf_c/factorization/cholesky.h,
+// dlaf_c/inverse/cholesky.h, dlaf_c/eigensolver/*.h).  CT = C scalar
+// type, WT = real scalar type of the eigenvalues.
+#define DLAF_SHIM_TYPED(T, CT, WT, KIND)                                      \
+  int dlaf_cholesky_factorization_##T(int ctx, char uplo, CT* a,              \
+                                      struct DLAF_descriptor d) {             \
+    return chol(ctx, uplo, #T, a, d, 0);                                      \
+  }                                                                           \
+  int dlaf_cholesky_##T(int ctx, char uplo, CT* a,                            \
+                        struct DLAF_descriptor d) {                           \
+    return chol(ctx, uplo, #T, a, d, 0);                                      \
+  }                                                                           \
+  int dlaf_inverse_from_cholesky_factor_##T(int ctx, char uplo, CT* a,        \
+                                            struct DLAF_descriptor d) {       \
+    return chol_inv(ctx, uplo, #T, a, d, 0);                                  \
+  }                                                                           \
+  int dlaf_##KIND##_eigensolver_##T(int ctx, char uplo, CT* a,                \
+                                    struct DLAF_descriptor desca, WT* w,      \
+                                    CT* z, struct DLAF_descriptor descz) {    \
+    return eig(ctx, uplo, #T, a, w, z, desca, descz, -1);                     \
+  }                                                                           \
+  int dlaf_##KIND##_eigensolver_partial_spectrum_##T(                         \
+      int ctx, char uplo, CT* a, struct DLAF_descriptor desca, WT* w,         \
+      CT* z, struct DLAF_descriptor descz, long long begin,                   \
+      long long end) {                                                        \
+    return begin == 0 ? eig(ctx, uplo, #T, a, w, z, desca, descz, end) : -1;  \
+  }                                                                           \
+  int dlaf_##KIND##_generalized_eigensolver_##T(                              \
+      int ctx, char uplo, CT* a, struct DLAF_descriptor desca, CT* b,         \
+      struct DLAF_descriptor descb, WT* w, CT* z,                             \
+      struct DLAF_descriptor descz) {                                         \
+    return gev(ctx, uplo, #T, a, b, w, z, desca, descb, descz, 0, -1);        \
+  }                                                                           \
+  int dlaf_##KIND##_generalized_eigensolver_factorized_##T(                   \
+      int ctx, char uplo, CT* a, struct DLAF_descriptor desca, CT* b,         \
+      struct DLAF_descriptor descb, WT* w, CT* z,                             \
+      struct DLAF_descriptor descz) {                                         \
+    return gev(ctx, uplo, #T, a, b, w, z, desca, descb, descz, 1, -1);        \
+  }                                                                           \
+  int dlaf_##KIND##_generalized_eigensolver_partial_spectrum_##T(             \
+      int ctx, char uplo, CT* a, struct DLAF_descriptor desca, CT* b,         \
+      struct DLAF_descriptor descb, WT* w, CT* z,                             \
+      struct DLAF_descriptor descz, long long begin, long long end) {         \
+    return begin == 0                                                         \
+               ? gev(ctx, uplo, #T, a, b, w, z, desca, descb, descz, 0, end)  \
+               : -1;                                                          \
+  }                                                                           \
+  int dlaf_##KIND##_generalized_eigensolver_partial_spectrum_factorized_##T(  \
+      int ctx, char uplo, CT* a, struct DLAF_descriptor desca, CT* b,         \
+      struct DLAF_descriptor descb, WT* w, CT* z,                             \
+      struct DLAF_descriptor descz, long long begin, long long end) {         \
+    return begin == 0                                                         \
+               ? gev(ctx, uplo, #T, a, b, w, z, desca, descb, descz, 1, end)  \
+               : -1;                                                          \
+  }
+
+DLAF_SHIM_TYPED(s, float, float, symmetric)
+DLAF_SHIM_TYPED(d, double, double, symmetric)
+DLAF_SHIM_TYPED(c, float, float, hermitian)    // interleaved re/im pairs
+DLAF_SHIM_TYPED(z, double, double, hermitian)
+
+// backward-compat aliases of this build's round-1 names
+int dlaf_cholesky_inverse_s(int ctx, char uplo, float* a,
+                            struct DLAF_descriptor d) {
+  return chol_inv(ctx, uplo, "s", a, d, 0);
 }
 
-void dlaf_pspotrf(char uplo, int n, float* a, int ia, int ja,
-                  struct DLAF_descriptor desca, int ctx, int* info) {
-  (void)n;
-  int rc = (ia == 1 && ja == 1) ? dlaf_cholesky_s(ctx, uplo, a, desca)
-                                : -1;
-  if (info) *info = rc;
+int dlaf_cholesky_inverse_d(int ctx, char uplo, double* a,
+                            struct DLAF_descriptor d) {
+  return chol_inv(ctx, uplo, "d", a, d, 0);
 }
 
-void dlaf_pdpotrf(char uplo, int n, double* a, int ia, int ja,
-                  struct DLAF_descriptor desca, int ctx, int* info) {
-  (void)n;
-  int rc = (ia == 1 && ja == 1) ? dlaf_cholesky_d(ctx, uplo, a, desca)
-                                : -1;
-  if (info) *info = rc;
-}
+// ScaLAPACK-style wrappers: ia/ja != 1 supported (operand = n x n block
+// at the 1-based (ia, ja) origin), unlike the reference which requires 1.
+#define DLAF_SHIM_SCA(T, CT, WT, EV, GV)                                      \
+  void dlaf_p##T##potrf(char uplo, int n, CT* a, int ia, int ja,              \
+                        struct DLAF_descriptor desca, int ctx, int* info) {   \
+    struct DLAF_descriptor d = desca;                                         \
+    d.i = ia;                                                                 \
+    d.j = ja;                                                                 \
+    int rc = chol(ctx, uplo, #T, a, d, n);                                    \
+    if (info) *info = rc;                                                     \
+  }                                                                           \
+  void dlaf_p##T##potri(char uplo, int n, CT* a, int ia, int ja,              \
+                        struct DLAF_descriptor desca, int ctx, int* info) {   \
+    struct DLAF_descriptor d = desca;                                         \
+    d.i = ia;                                                                 \
+    d.j = ja;                                                                 \
+    int rc = chol_inv(ctx, uplo, #T, a, d, n);                                \
+    if (info) *info = rc;                                                     \
+  }                                                                           \
+  void dlaf_p##EV(char uplo, int n, CT* a,                                 \
+                     struct DLAF_descriptor desca, WT* w, CT* z,              \
+                     struct DLAF_descriptor descz, int ctx, int* info) {      \
+    (void)n;                                                                  \
+    int rc = eig(ctx, uplo, #T, a, w, z, desca, descz, -1);                   \
+    if (info) *info = rc;                                                     \
+  }                                                                           \
+  void dlaf_p##EV##_partial_spectrum(                                      \
+      char uplo, int n, CT* a, struct DLAF_descriptor desca, WT* w, CT* z,    \
+      struct DLAF_descriptor descz, long long begin, long long end, int ctx,  \
+      int* info) {                                                            \
+    (void)n;                                                                  \
+    int rc = begin == 0 ? eig(ctx, uplo, #T, a, w, z, desca, descz, end)      \
+                        : -1;                                                 \
+    if (info) *info = rc;                                                     \
+  }                                                                           \
+  void dlaf_p##GV(char uplo, int n, CT* a,                                 \
+                     struct DLAF_descriptor desca, CT* b,                     \
+                     struct DLAF_descriptor descb, WT* w, CT* z,              \
+                     struct DLAF_descriptor descz, int ctx, int* info) {      \
+    (void)n;                                                                  \
+    int rc = gev(ctx, uplo, #T, a, b, w, z, desca, descb, descz, 0, -1);      \
+    if (info) *info = rc;                                                     \
+  }                                                                           \
+  void dlaf_p##GV##_factorized(                                            \
+      char uplo, int n, CT* a, struct DLAF_descriptor desca, CT* b,           \
+      struct DLAF_descriptor descb, WT* w, CT* z,                             \
+      struct DLAF_descriptor descz, int ctx, int* info) {                     \
+    (void)n;                                                                  \
+    int rc = gev(ctx, uplo, #T, a, b, w, z, desca, descb, descz, 1, -1);      \
+    if (info) *info = rc;                                                     \
+  }
 
-void dlaf_pssyevd(char uplo, int n, float* a, struct DLAF_descriptor desca,
-                  float* w, float* z, struct DLAF_descriptor descz,
-                  int ctx, int* info) {
-  (void)n;
-  int rc = dlaf_symmetric_eigensolver_s(ctx, uplo, a, desca, w, z, descz);
-  if (info) *info = rc;
-}
+DLAF_SHIM_SCA(s, float, float, ssyevd, ssygvd)
+DLAF_SHIM_SCA(d, double, double, dsyevd, dsygvd)
+DLAF_SHIM_SCA(c, float, float, cheevd, chegvd)
+DLAF_SHIM_SCA(z, double, double, zheevd, zhegvd)
 
-void dlaf_pdsyevd(char uplo, int n, double* a, struct DLAF_descriptor desca,
-                  double* w, double* z, struct DLAF_descriptor descz,
-                  int ctx, int* info) {
-  (void)n;
-  int rc = dlaf_symmetric_eigensolver_d(ctx, uplo, a, desca, w, z, descz);
-  if (info) *info = rc;
+void dlaf_free_all_grids(void) {
+  call_int("free_all_grids", "()");
 }
 
 }  // extern "C"

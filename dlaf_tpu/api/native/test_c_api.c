@@ -88,6 +88,34 @@ int main(void) {
   }
   printf("pdsyevd ok, resid %.2e\n", emax);
 
+  /* ---- partial-spectrum round trip (first k eigenpairs) ---- */
+  const long long k = 17;
+  double* wp = malloc(sizeof(double) * n);
+  double* zp = malloc(sizeof(double) * n * n);
+  for (int j = 0; j < n; ++j)
+    for (int i = 0; i < n; ++i) a[j * n + i] = a0[j * n + i];
+  dlaf_pdsyevd_partial_spectrum('L', n, a, desc, wp, zp, desc, 0, k, ctx,
+                                &info);
+  if (info != 0) {
+    fprintf(stderr, "pdsyevd_partial_spectrum info=%d\n", info);
+    return 7;
+  }
+  double pmax = 0.0;
+  for (int c = 0; c < k; ++c) {
+    if (fabs(wp[c] - w[c]) > pmax) pmax = fabs(wp[c] - w[c]);
+    for (int i = 0; i < n; ++i) {
+      double s = 0.0;
+      for (int kk = 0; kk < n; ++kk) s += a0[kk * n + i] * zp[c * n + kk];
+      double d = s - wp[c] * zp[c * n + i];
+      if (fabs(d) > pmax) pmax = fabs(d);
+    }
+  }
+  if (!(pmax < 1e-9 * 2 * n)) {
+    fprintf(stderr, "partial-spectrum residual %g\n", pmax);
+    return 8;
+  }
+  printf("pdsyevd_partial_spectrum ok, resid %.2e\n", pmax);
+
   dlaf_free_grid(ctx);
   dlaf_finalize();
   return 0;

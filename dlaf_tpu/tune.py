@@ -81,6 +81,13 @@ class TuneParameters:
     #: row-block height of the lean update (smaller = less transient
     #: memory, more U rebuild passes)
     dc_lean_rowblock: int = _env("DLAF_DC_LEAN_ROWBLOCK", 4096, int)
+    #: SBR intermediate band: when > the chase band, the reduction runs
+    #: in TWO stages — full -> sbr_band (wide panels, k = 2*sbr_band
+    #: trailing contractions at MXU-efficient depth) then a block bulge
+    #: chase sbr_band -> band (band_reduction.py).  0 = one-stage.
+    #: Analogue of the reference's band-size knobs (``tune.h:114-163``)
+    #: adapted to the MXU's contraction-depth cliff.
+    eigensolver_sbr_band: int = _env("DLAF_SBR_BAND", 0, int)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)

@@ -38,3 +38,4 @@ def test_c_roundtrip(tmp_path):
     assert res.returncode == 0, (res.stdout, res.stderr)
     assert "pdpotrf ok" in res.stdout
     assert "pdsyevd ok" in res.stdout
+    assert "pdsyevd_partial_spectrum ok" in res.stdout
