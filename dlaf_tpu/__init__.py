@@ -51,7 +51,8 @@ from .algorithms.eigensolver.gen_to_std import generalized_to_standard
 from .algorithms.eigensolver.reduction_to_band import reduction_to_band
 from .algorithms.eigensolver.tridiag_solver import tridiagonal_eigensolver
 from .algorithms.eigensolver.eigensolver import (
-    hermitian_eigensolver, hermitian_generalized_eigensolver)
+    hermitian_eigensolver, hermitian_eigensolver_host,
+    hermitian_generalized_eigensolver)
 
 __version__ = "0.1.0"
 
@@ -78,5 +79,6 @@ __all__ = [
     "reduction_to_band",
     "tridiagonal_eigensolver",
     "hermitian_eigensolver",
+    "hermitian_eigensolver_host",
     "hermitian_generalized_eigensolver",
 ]

@@ -46,11 +46,14 @@ def bt_reduction_to_band(band_size: int, mat_e, mat_hh: DistMatrix, taus,
     zero rows below row n (e.g. the BT-B2T scan pad); they are preserved.
     """
     if isinstance(mat_hh, PackedPanels):
+        from ...tune import get_tune_parameters
         E = jnp.asarray(mat_e)
         if E.dtype != mat_hh.data.dtype:
             E = E.astype(mat_hh.data.dtype)
+        grp = max(int(get_tune_parameters().bt_r2b_group_size), 1)
         return _bt_r2b_inplace_packed(E, mat_hh.data, taus,
-                                      band_size=band_size, n=mat_hh.n)
+                                      band_size=band_size, n=mat_hh.n,
+                                      group=grp)
     if donate and not isinstance(mat_e, DistMatrix) and e_sharding is None:
         E = jnp.asarray(mat_e)
         nat_hh_dtype = mat_hh.dtype
@@ -136,8 +139,10 @@ _pack_jit_donated = partial(jax.jit, static_argnames=("band_size",),
                             donate_argnums=(0,))(_pack_impl)
 
 
-@partial(jax.jit, static_argnames=("band_size", "n"), donate_argnums=(0,))
-def _bt_r2b_inplace_packed(E, P, taus, band_size: int, n: int):
+@partial(jax.jit, static_argnames=("band_size", "n", "group"),
+         donate_argnums=(0,))
+def _bt_r2b_inplace_packed(E, P, taus, band_size: int, n: int,
+                           group: int = 4):
     """In-place WY back-transform reading packed reflector panels."""
     b = band_size
     n_panels = max(_cdiv(n, b) - 1, 0)
@@ -209,7 +214,7 @@ def _bt_r2b_inplace_packed(E, P, taus, band_size: int, n: int):
             return apply_wy(E, W, T, cs2, H)
 
         cnt = k_hi - k_lo
-        g = 4
+        g = group
         while g > 1 and (pmp + (g - 1) * b > n or cnt < g):
             g -= 1
         if g > 1:

@@ -168,6 +168,34 @@ def hermitian_eigensolver(
             from .bt_reduction_to_band import pack_hh_panels
             mat_hh = pack_hh_panels(mat_hh, red_band, donate=True)
             mark("pack_hh_panels")
+    # pre-warm the D&C programs during the HOST chase (device idle then):
+    # a same-shape run on zeros forces server-side program load + first
+    # execution, ~13 + 13 s at n = 32768 that would otherwise sit on the
+    # critical path of the real D&C stage.  Skipped for the wavefront
+    # chase (the device is busy) and for small problems.
+    prewarm_th = None
+    if (tp.dc_prewarm and use_hh and not use_wavefront and n >= 8192
+            and jax.process_count() == 1):
+        import threading
+
+        from .bt_hh import bt_hh_pad_rows
+        pre_pad = bt_hh_pad_rows(n, band) if (n > 2 and band > 1) else 0
+        pre_leaf = min(leaf_size, max(n, 1))
+
+        def _dc_prewarm():
+            try:
+                lam0, q0 = tridiagonal_eigensolver(
+                    jnp.zeros((n,), rdtype), jnp.zeros((n - 1,), rdtype),
+                    leaf_size=pre_leaf, q_sharding=row_shard,
+                    row_pad=pre_pad)
+                np.asarray(jnp.asarray(q0).ravel()[0:1])   # force exec
+                del lam0, q0
+            except Exception:       # noqa: BLE001 — warm-up best-effort
+                pass
+
+        prewarm_th = threading.Thread(target=_dc_prewarm, daemon=True)
+        prewarm_th.start()
+
     if use_wavefront:
         # device-resident chase: no band download, no host compute, no
         # reflector-stream upload (wavefront_chase.py).  Opt-in
@@ -195,6 +223,10 @@ def hermitian_eigensolver(
         res = band_to_tridiagonal(ab, band)
     if not use_wavefront:
         mark("band_to_tridiag (host chase)")
+
+    if prewarm_th is not None:
+        prewarm_th.join()
+        mark("D&C prewarm join")
 
     streamw = None
     row_pad = 0
@@ -260,6 +292,60 @@ def hermitian_eigensolver(
         print("eigensolver stage breakdown:")
         timer.report()
     return lam, evec
+
+
+def hermitian_eigensolver_host(
+        a: np.ndarray, block_size, uplo: str = "L", *,
+        grid=None, eigenvalues_index_end: Optional[int] = None,
+        **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """Complex Hermitian eigensolver for real-only backends.
+
+    The platform cannot ``device_put`` complex buffers (axon TPU), so
+    the complex matrix enters as HOST numpy, is encoded as the real
+    symmetric ``[2n, 2n]`` block embedding (``complex_embed.py``), runs
+    the whole real pipeline on the chip, and the complex eigenpairs are
+    extracted on the host.  2x the flops of a native complex solve, at
+    full MXU rate.  Works on any backend (CPU tests compare it against
+    the native complex path).
+
+    Returns host ``(eigenvalues [n_ev], eigenvectors [n, n_ev]
+    complex)``.
+    """
+    from .complex_embed import embed_hermitian, extract_eigenpairs
+    a = np.asarray(a)
+    n = a.shape[0]
+    if a.shape != (n, n):
+        raise ValueError("matrix must be square")
+    if not np.issubdtype(a.dtype, np.complexfloating):
+        raise ValueError("hermitian_eigensolver_host is the complex "
+                         "boundary; real input goes through "
+                         "hermitian_eigensolver")
+    if uplo == "U":       # embed needs the full Hermitian matrix
+        a = np.triu(a) + np.triu(a, 1).conj().T
+    elif uplo == "L":
+        a = np.tril(a) + np.tril(a, -1).conj().T
+    else:
+        raise ValueError("invalid uplo")
+    n_ev = n if eigenvalues_index_end is None else int(eigenvalues_index_end)
+    M = embed_hermitian(a)
+    if isinstance(block_size, int):
+        block_size = (block_size, block_size)
+    mat = DistMatrix.from_natural(jnp.asarray(M), block_size, grid)
+    # 2*n_ev real columns cover the doubled spectrum's first n_ev pairs,
+    # plus slack for a cluster straddling the cut
+    n_ev2 = min(2 * n, 2 * n_ev + 2) if n_ev < n else 2 * n
+    lam2, v2 = hermitian_eigensolver(
+        mat, "L", eigenvalues_index_end=n_ev2, donate_input=True, **kw)
+    lam2 = np.asarray(lam2)
+    v2n = np.asarray(v2.to_natural())
+    # extraction expects the full doubled spectrum length for shape
+    # bookkeeping only at [0, n_ev2); pad the tail values
+    if n_ev2 < 2 * n:
+        pad = np.full(2 * n - n_ev2, np.inf, lam2.dtype)
+        lam2 = np.concatenate([lam2, pad])
+        v2n = np.concatenate(
+            [v2n, np.zeros((2 * n, 2 * n - n_ev2), v2n.dtype)], axis=1)
+    return extract_eigenpairs(lam2, v2n, n, n_ev=n_ev)
 
 
 def hermitian_generalized_eigensolver(

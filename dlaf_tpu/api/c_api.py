@@ -219,6 +219,28 @@ def _cholesky_inverse(ctx, uplo, a, desc):
 def _eigensolver(ctx, uplo, a, desca, w, z, descz, n_ev=None):
     from .. import hermitian_eigensolver
     grid = _grid_from_context(ctx)
+    from ..algorithms.eigensolver.complex_embed import needs_real_embedding
+    if needs_real_embedding(np.asarray(a).dtype):
+        # complex on a real-only backend (axon TPU): pair-of-reals
+        # embedding at the host boundary (complex_embed.py)
+        from ..algorithms.eigensolver.eigensolver import (
+            hermitian_eigensolver_host)
+        if a.shape != (desca.m, desca.n):
+            a = np.asarray(a).reshape(desca.m, desca.n, order="F")
+        nop = desca.subm if desca.subm is not None else \
+            desca.m - desca.i + 1
+        sub = a[desca.i - 1:desca.i - 1 + nop,
+                desca.j - 1:desca.j - 1 + nop]
+        lam, U = hermitian_eigensolver_host(
+            sub, (desca.mb, desca.nb), uplo.upper(), grid=grid,
+            eigenvalues_index_end=n_ev)
+        w[: len(lam)] = lam
+        zdst = z[:, : U.shape[1]] if z.ndim == 2 else z
+        if zdst.shape == U.shape:
+            zdst[...] = U
+        else:
+            zdst.reshape(-1)[: U.size] = U.ravel(order="F")
+        return 0
     mat = _wrap(a, desca, grid)
     lam, v = hermitian_eigensolver(mat, uplo.upper(),
                                    eigenvalues_index_end=n_ev)

@@ -81,6 +81,40 @@ def random_hermitian_device(n, dtype=np.float32, seed=0):
     return gen(jax.random.key(seed), n, dt=jnp.dtype(dtype))
 
 
+def random_hermitian_dist(n, block_size, grid=None, dtype=np.float32,
+                          seed=0, spd=False):
+    """Random Hermitian DistMatrix generated directly in storage order,
+    ONE fused jit: peak ~2 n^2 buffers instead of the ~3 of
+    ``random_hermitian_device`` + ``from_natural`` (the difference
+    between surviving and OOM-ing next to co-tenants at n = 32768)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .distribution import Distribution
+    from .layout import natural_to_storage, pad_natural
+    from .matrix import DistMatrix
+
+    if isinstance(block_size, int):
+        block_size = (block_size, block_size)
+    gs = (1, 1) if grid is None else grid.shape
+    dist = Distribution((n, n), tuple(block_size), gs)
+
+    @partial(jax.jit, static_argnames=("dt", "spd"))
+    def build(key, dt=None, spd=False):
+        x = jax.random.uniform(key, (n, n), jnp.dtype(dt), -1.0, 1.0)
+        h = (x + x.T) / 2
+        if spd:
+            ii = jnp.arange(n)
+            h = h.at[ii, ii].add(jnp.asarray(2.0 * n, h.dtype))
+        return natural_to_storage(pad_natural(h, dist), dist)
+
+    import jax.random as jrandom
+    data = build(jrandom.PRNGKey(seed), dt=np.dtype(dtype), spd=spd)
+    if grid is not None:
+        data = jax.device_put(data, grid.sharding())
+    return DistMatrix(data, dist, grid)
+
+
 def random_hermitian_positive_definite_device(n, dtype=np.float32, seed=0):
     """Device-side SPD generator: Hermitian + 2n I (eigenvalues in
     [2n-1, 2n+1], the reference conditioning)."""

@@ -48,6 +48,15 @@ def global_grid(shape: Optional[Tuple[int, int]] = None) -> Grid:
     return Grid(shape, devices=devs)
 
 
+def barrier(name: str = "dlaf_barrier") -> None:
+    """Cross-process synchronization point (the reference's
+    ``comm::sync::basic::barrier``); no-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
 def gather_natural(mat) -> np.ndarray:
     """Natural-order numpy array of a DistMatrix, valid on every process.
 

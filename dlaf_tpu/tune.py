@@ -59,6 +59,10 @@ class TuneParameters:
     #: the reference's ``bt_band_to_tridiag_hh_apply_group_size`` analogue.
     #: For the "hh" chase it is the number of sweeps per compact-WY window.
     bt_group_size: int = _env("DLAF_BT_GROUP_SIZE", 64, int)
+    #: panels aggregated per compact-WY block in BT-R2B (outer gemm
+    #: contraction depth = group * band; quads measured 1.68x over
+    #: singles at n = 16384 b = 128).
+    bt_r2b_group_size: int = _env("DLAF_BT_R2B_GROUP_SIZE", 4, int)
     #: band->tridiag algorithm: "hh" (host Householder chase + compact-WY
     #: MXU back-transform, the reference's SweepWorker formulation),
     #: "wavefront" (the chase itself on the TPU as one lax.scan —
@@ -81,6 +85,10 @@ class TuneParameters:
     #: row-block height of the lean update (smaller = less transient
     #: memory, more U rebuild passes)
     dc_lean_rowblock: int = _env("DLAF_DC_LEAN_ROWBLOCK", 4096, int)
+    #: pre-warm the D&C programs (same-shape run on zeros) in a
+    #: background thread during the host chase — hides the ~13 s
+    #: server-side program load + ~13 s first execution at n = 32768.
+    dc_prewarm: bool = _env("DLAF_DC_PREWARM", True, bool)
     #: SBR intermediate band: when > the chase band, the reduction runs
     #: in TWO stages — full -> sbr_band (wide panels, k = 2*sbr_band
     #: trailing contractions at MXU-efficient depth) then a block bulge

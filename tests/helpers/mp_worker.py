@@ -56,6 +56,24 @@ def main() -> int:
     np.testing.assert_allclose(out.V, ref.V, rtol=0, atol=1e-12)
     print(f"[{pid}] mp chase ok", flush=True)
 
+    # ---- per-rank (independent) snapshot IO across both processes ----
+    import os
+    import tempfile
+
+    from dlaf_tpu.matrix.io import load_matrix, save_matrix
+    tdir = os.environ.get("DLAF_MP_TMP", tempfile.gettempdir())
+    snap = os.path.join(tdir, f"mp_snap_{port}.h5")
+    save_matrix(snap, mat)                  # auto-sharded: 2 rank files
+    assert os.path.exists(os.path.join(
+        tdir, f"mp_snap_{port}.r{pid}of2.h5"))
+    # barrier so both rank files exist before either process loads
+    from dlaf_tpu.parallel.multiprocess import barrier
+    barrier()
+    back = load_matrix(snap, grid=grid)
+    diff = np.abs(np.asarray(gather_natural(back)) - a).max()
+    assert diff == 0, f"io roundtrip diff {diff}"
+    print(f"[{pid}] io ok", flush=True)
+
     # ---- full HEEV chain ----
     rng = np.random.default_rng(7)
     h = rng.standard_normal((n, n)).astype(np.float32)

@@ -1,0 +1,124 @@
+"""Complex-on-real-backend mechanisms (``complex_embed.py``,
+``ops/complexmm.py``): the pair-of-reals encoding SURVEY §7 prescribes
+for backends without complex transfer/lowerings (the axon TPU)."""
+
+import numpy as np
+import pytest
+
+from dlaf_tpu.algorithms.eigensolver.complex_embed import (
+    embed_hermitian, extract_eigenpairs)
+from dlaf_tpu.ops.complexmm import cgemm_pair, cherk_pair, pair_to_complex
+
+
+def random_hermitian_c(n, dtype, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a = (a + a.conj().T) / 2
+    return a.astype(dtype)
+
+
+def test_embedding_spectrum_doubled():
+    a = random_hermitian_c(17, np.complex128, 0)
+    M = embed_hermitian(a)
+    assert M.dtype == np.float64 and M.shape == (34, 34)
+    np.testing.assert_allclose(M, M.T, atol=0)
+    lam = np.linalg.eigvalsh(a)
+    lam2 = np.linalg.eigvalsh(M)
+    np.testing.assert_allclose(lam2[0::2], lam, atol=1e-12)
+    np.testing.assert_allclose(lam2[1::2], lam, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1, 2, 9, 24])
+def test_extract_eigenpairs_roundtrip(n):
+    a = random_hermitian_c(n, np.complex128, n)
+    lam2, v2 = np.linalg.eigh(embed_hermitian(a))
+    lam, U = extract_eigenpairs(lam2, v2, n)
+    np.testing.assert_allclose(lam, np.linalg.eigvalsh(a), atol=1e-11)
+    resid = np.linalg.norm(a @ U - U * lam[None, :])
+    assert resid / max(np.linalg.norm(a), 1) < 1e-11
+    np.testing.assert_allclose(U.conj().T @ U, np.eye(n), atol=1e-11)
+
+
+def test_extract_with_degenerate_cluster():
+    """Multiple eigenvalues: the doubled eigenspace returns arbitrary
+    real bases; cluster-QR must still give complex-orthonormal pairs."""
+    rng = np.random.default_rng(3)
+    n = 12
+    q, _ = np.linalg.qr(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+    lam_true = np.sort(np.r_[np.full(4, -1.0), np.full(3, 0.5),
+                             rng.standard_normal(n - 7)])
+    a = (q * lam_true[None, :]) @ q.conj().T
+    a = (a + a.conj().T) / 2
+    lam2, v2 = np.linalg.eigh(embed_hermitian(a))
+    lam, U = extract_eigenpairs(lam2, v2, n)
+    np.testing.assert_allclose(lam, np.linalg.eigvalsh(a), atol=1e-11)
+    resid = np.linalg.norm(a @ U - U * lam[None, :])
+    assert resid / np.linalg.norm(a) < 1e-10
+    np.testing.assert_allclose(U.conj().T @ U, np.eye(n), atol=1e-10)
+
+
+def test_host_eigensolver_matches_native_complex():
+    """hermitian_eigensolver_host (embedding path) vs the native complex
+    pipeline, full and partial spectrum, both uplo."""
+    from dlaf_tpu import hermitian_eigensolver_host
+
+    n = 40
+    a = random_hermitian_c(n, np.complex128, 7)
+    for uplo in ("L", "U"):
+        lam, U = hermitian_eigensolver_host(
+            np.tril(a) if uplo == "L" else np.triu(a), 16, uplo)
+        np.testing.assert_allclose(lam, np.linalg.eigvalsh(a), atol=1e-10)
+        resid = np.linalg.norm(a @ U - U * lam[None, :])
+        assert resid / np.linalg.norm(a) < 1e-10
+    k = 7
+    lam_k, U_k = hermitian_eigensolver_host(a, 16, "L",
+                                            eigenvalues_index_end=k)
+    assert lam_k.shape == (k,) and U_k.shape == (n, k)
+    np.testing.assert_allclose(lam_k, np.linalg.eigvalsh(a)[:k],
+                               atol=1e-10)
+    resid = np.linalg.norm(a @ U_k - U_k * lam_k[None, :])
+    assert resid / np.linalg.norm(a) < 1e-10
+
+
+def test_c_api_complex_embedding_route(monkeypatch):
+    """The c/z C-API entries route through the embedding when the
+    backend can't run native complex (forced here via monkeypatch)."""
+    from dlaf_tpu.algorithms.eigensolver import complex_embed
+    from dlaf_tpu.api import c_api
+
+    monkeypatch.setattr(complex_embed, "needs_real_embedding",
+                        lambda dt: np.issubdtype(np.dtype(dt),
+                                                 np.complexfloating))
+    n, nb = 16, 4
+    ctx = c_api.dlaf_create_grid(1, 1)
+    a = random_hermitian_c(n, np.complex128, 9)
+    w = np.zeros(n)
+    z = np.zeros((n, n), np.complex128)
+    desc = c_api.DLAF_descriptor(n, n, nb, nb, ld=n)
+    rc = c_api.dlaf_hermitian_eigensolver_z(ctx, "L", a.copy(), desc, w,
+                                            z, desc)
+    assert rc == 0
+    np.testing.assert_allclose(w, np.linalg.eigvalsh(a), atol=1e-10)
+    resid = np.linalg.norm(a @ z - z * w[None, :])
+    assert resid / np.linalg.norm(a) < 1e-9
+    c_api.dlaf_free_grid(ctx)
+
+
+@pytest.mark.parametrize("algo", ["4mul", "gauss"])
+def test_cgemm_pair(algo):
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((24, 17)) + 1j * rng.standard_normal((24, 17))
+    B = rng.standard_normal((17, 9)) + 1j * rng.standard_normal((17, 9))
+    cr, ci = cgemm_pair(np.real(A), np.imag(A), np.real(B), np.imag(B),
+                        algo=algo)
+    np.testing.assert_allclose(pair_to_complex(cr, ci), A @ B, atol=1e-12)
+
+
+def test_cherk_pair():
+    rng = np.random.default_rng(12)
+    A = rng.standard_normal((15, 21)) + 1j * rng.standard_normal((15, 21))
+    cr, ci = cherk_pair(np.real(A), np.imag(A))
+    C = pair_to_complex(cr, ci)
+    np.testing.assert_allclose(C, A @ A.conj().T, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cr), np.asarray(cr).T, atol=1e-12)

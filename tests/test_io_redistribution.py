@@ -2,6 +2,7 @@
 ``test_matrix_hdf5.cpp`` — write on one grid, read on another — and the
 redistribution miniapp)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,3 +75,35 @@ def test_hdf5_roundtrip(tmp_path):
     assert np.array_equal(np.asarray(back.to_natural()), a)
     finer = load_matrix(path, block_size=(4, 4))
     assert np.array_equal(np.asarray(finer.to_natural()), a)
+
+
+@pytest.mark.parametrize("ext", [".h5", ".npz"])
+def test_sharded_rank_files_roundtrip(tmp_path, ext):
+    """Per-rank (non-gathering) snapshot files: each process writes only
+    its addressable storage-order shards (reference hdf5.h:160-260
+    independent-access analogue); load reassembles onto any grid."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dlaf_tpu.matrix.io import load_matrix, save_matrix
+    from dlaf_tpu.matrix.matrix import DistMatrix
+    from dlaf_tpu.parallel.grid import Grid
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((45, 33)).astype(np.float32)
+    grid = Grid((2, 4))
+    mat = DistMatrix.from_natural(jnp.asarray(a), (8, 8), grid)
+    path = str(tmp_path / ("snap" + ext))
+    save_matrix(path, mat, sharded=True)
+    assert not (tmp_path / ("snap" + ext)).exists()   # no gathered file
+    rank0 = str(tmp_path / ("snap.r0of1" + ext))
+    import os
+    assert os.path.exists(rank0)
+    back = load_matrix(path)                          # replicated
+    assert np.array_equal(np.asarray(back.to_natural()), a)
+    # re-load onto a different grid and block size
+    other = load_matrix(path, block_size=(4, 4), grid=Grid((4, 2)))
+    assert np.array_equal(np.asarray(other.to_natural()), a)

@@ -27,10 +27,11 @@ def _free_port():
     return port
 
 
-def test_two_process_cholesky_and_heev():
+def test_two_process_cholesky_and_heev(tmp_path):
     port = str(_free_port())
     env = dict(os.environ)
     env.update({
+        "DLAF_MP_TMP": str(tmp_path),
         "JAX_PLATFORMS": "cpu",
         "PALLAS_AXON_POOL_IPS": "",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
@@ -55,4 +56,5 @@ def test_two_process_cholesky_and_heev():
         assert rc == 0, (rc, out, err[-2000:])
         assert "cholesky ok" in out
         assert "mp chase ok" in out
+        assert "io ok" in out
         assert "heev ok" in out
