@@ -98,7 +98,14 @@ def extract_eigenpairs(lam2: np.ndarray, v2: np.ndarray, n: int,
         raise RuntimeError(
             f"extracted {out} of {n_ev} eigenpairs (cluster pairing "
             f"failed — spectrum not doubled?)")
-    return lam[:n_ev], U[:, :n_ev]
+    # Global complex re-orthonormalization: eigh mixes REAL vectors of
+    # near-degenerate eigenvalues by ~eps*||A||/gap, and per-cluster
+    # extraction turns that into a complex orthogonality defect of the
+    # same size (measured 1e-2 at n = 4096 f32).  One QR restores
+    # machine orthogonality while moving each column by O(defect), which
+    # perturbs the residual by only O(defect * gap) = O(eps * ||A||).
+    q, _ = np.linalg.qr(U[:, :n_ev])
+    return lam[:n_ev], q
 
 
 def needs_real_embedding(dtype) -> bool:

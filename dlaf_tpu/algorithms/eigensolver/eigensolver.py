@@ -132,7 +132,7 @@ def hermitian_eigensolver(
         a = None          # buffer donated into the reduction jit
     mark("reduction_to_band", mat_hh.data)
     b2t_algo = tp.band_to_tridiag_algo
-    use_wavefront = (b2t_algo == "wavefront"
+    use_wavefront = (b2t_algo in ("wavefront", "pallas")
                      and not np.issubdtype(np.dtype(adtype),
                                            np.complexfloating)
                      and jax.process_count() == 1 and n > 2 and band > 1
@@ -198,13 +198,18 @@ def hermitian_eigensolver(
 
     if use_wavefront:
         # device-resident chase: no band download, no host compute, no
-        # reflector-stream upload (wavefront_chase.py).  Opt-in
-        # (DLAF_B2T_ALGO=wavefront): wins below ~n=16384 and removes the
-        # tunnel wire from the critical path; the host pipeline scales
-        # better at the largest sizes.
-        from .wavefront_chase import wavefront_band_to_tridiagonal
-        res = wavefront_band_to_tridiagonal(ab, band)
-        mark("band_to_tridiag (wavefront, on device)")
+        # reflector-stream upload.  Two implementations:
+        # "wavefront" = XLA slice-lattice scan (wavefront_chase.py),
+        # "pallas" = manual-DMA Mosaic kernel on the staircase strip
+        # (pallas_chase.py) — same schedule, far less HBM traffic.
+        if b2t_algo == "pallas":
+            from .pallas_chase import pallas_band_to_tridiagonal
+            res = pallas_band_to_tridiagonal(ab, band)
+            mark("band_to_tridiag (pallas, on device)")
+        else:
+            from .wavefront_chase import wavefront_band_to_tridiagonal
+            res = wavefront_band_to_tridiagonal(ab, band)
+            mark("band_to_tridiag (wavefront, on device)")
     elif use_hh:
         if jax.process_count() > 1:
             # rank-pipelined chase: each process chases only its owned

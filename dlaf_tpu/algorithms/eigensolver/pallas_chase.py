@@ -1,0 +1,492 @@
+"""Pallas TPU kernel for the on-device bulge chase (band -> tridiagonal).
+
+Same wavefront schedule as ``wavefront_chase.py`` (slot ``m`` of
+iteration ``it`` runs sweep ``s = it - m`` substeps ``3m + tau``), but
+the whole iteration executes inside ONE Pallas kernel with manual
+window DMA — the XLA scan materializes ~15 fused temporaries of the
+[W, b, 2b+1] window tensor per iteration (measured 2.54 ms/iter at
+n = 32768, W = 86), while the kernel touches each slot's working set
+once in VMEM.
+
+Storage: the "staircase" strip ``T [n_pad, 3b]`` with
+``T[r, c] = A[r, (floor(r/b) - 2) * b + c]`` — each b-row block holds a
+DENSE rectangle of the band+bulge columns, so every window block
+(``D = A[jc:jc+b, jc:jc+b)``, ``B = A[jc+b:jc+2b, jc:jc+b)``) is
+assembled from two static-width slices of a [b, 4b] frame at a traced
+column offset and a row-boundary blend — no gathers, no reshape
+tricks, Mosaic-friendly.  Only the lower triangle is stored; D is
+symmetrized in VMEM by one [b, b] transpose.
+
+Slot order is DESCENDING m: slot m's substep-2 window shares one
+column with slot m+1's substep-0 window, and descending order makes
+slot m read exactly slot m+1's post-substep-0 values — the same
+linearization the XLA scan realizes with its read patch (see
+``wavefront_chase._wavefront_scan_seg``).
+
+Drop-in segment replacement: the kernel call has the same
+``(flat-ish, v, tau, it0) -> (state, v, tau, ys)`` contract as
+``_wavefront_scan_seg`` with ys in identical emission order, so the
+raw-stream consumers (``_raw_index_map``, ``gather_raw_rows``,
+``bt_hh_window_stream``) are reused unchanged.  Select with
+``DLAF_B2T_ALGO=pallas``.
+
+Status (r4, measured on the v5e): CORRECT on hardware — per-iteration
+agreement with interpret mode at f32 rounding (1e-7), eigenvalues
+match the XLA wavefront to 2e-3 at n = 2048 (the 2e-2 spread vs the
+host chase is the known f32 trajectory-divergence property shared by
+ALL implementations).  NOT yet fast: ~120 us/slot (serial window DMA +
+lane-roll chains) vs the ~5 us needed to beat the XLA scan; the next
+levers are slot double-buffering with overlap-row patching and one
+whole-slab lane roll per slot instead of per-ext rolls.  Hard-won
+Mosaic facts baked into the code: dynamic SUBLANE rotates are broken
+on hardware (shift reduced mod 16 — replaced by 8-way predicated
+static copies); dynamic LANE rotates are exact for negative shifts;
+DMA row offsets must be 8-aligned (pl.multiple_of hint); size-1 minor
+dims in matmuls and sub-128 lane tiles crash the compiler (hence the
+[b, 8] thin panels and 128-padded sweep-lane buffers).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .hh_chase import HHChaseResult, hh_schedule
+from .wavefront_chase import (_raw_index_map, _segment_iters,
+                              _wavefront_width)
+
+
+def _t_rows(n: int, b: int) -> int:
+    """T height covering the furthest slot's slab, aligned to the
+    staircase block (and to 8 sublanes)."""
+    import math
+    W = _wavefront_width(n, b)
+    S = 3 * b - 1
+    last = max(n - 3, 0) + 1 + (W - 1) * S + 4 * b + 8
+    al = math.lcm(b, 8)
+    return -(-last // al) * al
+
+
+@partial(jax.jit, static_argnames=("n", "b"))
+def build_t(ab, n: int, b: int):
+    """``[b+1, n]`` banded storage -> staircase strip ``T [n_pad, 3b]``.
+
+    ``T[k*b + rr, b + cc] = A[k*b + rr, (k-1)*b + cc]`` for
+    ``cc in [0, 2b)`` (= ``ab[b + rr - cc, (k-1)*b + cc]`` when the
+    depth is within the input band); columns [0, b) are the bulge
+    workspace, zero at entry.
+    """
+    dt = ab.dtype
+    npad = _t_rows(n, b)
+    nk = npad // b
+    rr = jnp.arange(b)[:, None]
+    cc = jnp.arange(2 * b)[None, :]
+    d = b + rr - cc                                    # depth in ab
+    k = jnp.arange(nk)[:, None, None]
+    j = (k - 1) * b + cc[None]                          # matrix column
+    valid = (d[None] >= 0) & (d[None] <= b) & (j >= 0) & (j < n)
+    dsafe = jnp.clip(d[None], 0, b)
+    jsafe = jnp.clip(j, 0, max(n - 1, 0))
+    vals = jnp.where(valid, ab[dsafe, jsafe], jnp.zeros((), dt))
+    T = jnp.zeros((npad, 3 * b), dt)
+    return T.at[:, b:].set(vals.reshape(npad, 2 * b))
+
+
+@partial(jax.jit, static_argnames=("n", "b"))
+def t_diagonals(T, n: int, b: int):
+    """(d [n], e [n-1]) from the staircase strip."""
+    r = jnp.arange(n)
+    cd = 2 * b + (r % b)                               # col of A[r, r]
+    d = T[r, cd]
+    r1 = jnp.arange(max(n - 1, 0))
+    ce = r1 - ((r1 + 1) // b - 2) * b                  # col of A[r+1, r]
+    e = T[r1 + 1, ce]
+    return d, e
+
+
+def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
+                  ys_ref, slab, frbuf, sem_in, sem_out, *, n, b, W, Wp,
+                  nsweeps, lvl=99):
+    """One grid step = one chase iteration (all W slots, descending).
+
+    Mosaic constraints shape the code: lane-dimension offsets are never
+    used as dynamic slice starts (arbitrary offsets are expressed with
+    ``pltpu.roll`` + static slices, and per-sweep state updates are
+    one-hot masked blends over the lane axis); vector orientation is
+    fixed (v is a [b, 1] column; outer products / row-vector
+    contractions go through ``dot_general`` instead of transposes); and
+    scalars are extracted with masked reductions.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = 3 * b - 1
+    dt = T_out.dtype
+    it = jnp.asarray(it0_ref[0] + pl.program_id(0), jnp.int32)
+    it_eff = jnp.minimum(it, jnp.int32(nsweeps - 1))
+
+    # first grid step: seed the outputs from the inputs.  ALL subsequent
+    # reads go through the OUTPUT refs — intra-call read-after-write
+    # (slot regions overlap by one window column, and the whole-slab
+    # writeback rewrites unmodified neighbor cells) must see this call's
+    # writes, which input refs only guarantee under buffer aliasing.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        v_out[...] = v_in[...]
+        tau_out[...] = tau_in[...]
+        cp = pltpu.make_async_copy(T_in, T_out, sem_in)
+        cp.start()
+        cp.wait()
+
+    rowi = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    coli = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    rowv = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    col8 = lax.broadcasted_iota(jnp.int32, (b, 8), 1)
+    col4 = lax.broadcasted_iota(jnp.int32, (b, 4 * b), 1)
+    row4 = lax.broadcasted_iota(jnp.int32, (b, 4 * b), 0)
+    rowR = lax.broadcasted_iota(jnp.int32, (b + 8, 3 * b), 0)
+    laneW = lax.broadcasted_iota(jnp.int32, (b, Wp), 1)
+    laneT = lax.broadcasted_iota(jnp.int32, (8, Wp), 1)
+    zero_bb = jnp.zeros((b, 3 * b), dt)
+
+    def pad8(x_col):
+        """[b, 1] -> [b, 8] thin panel (col 0 = x, rest exact zeros).
+        Unit minor dims crash the Mosaic matmul lowering; 8-wide panels
+        compose exactly (the zero columns stay zero through every
+        product below)."""
+        return jnp.where(col8 == 0, x_col, jnp.zeros((), dt))
+
+    # f32 MXU passes default to bf16 rounding; the chase's two-sided
+    # updates amplify that to ~1e-2 in the eigenvalues — force the
+    # 3-pass highest-precision mode like the rest of the pipeline
+    _prec = lax.Precision.HIGHEST
+
+    def outer(a8, b8):
+        """[b, 8] x [b, 8] thin panels -> [b, b] outer product."""
+        return lax.dot_general(a8, b8, (((1,), (1,)), ((), ())),
+                               preferred_element_type=dt,
+                               precision=_prec)
+
+    def matvec(M, x8):
+        """M [b, b] @ panel -> [b, 8] (col 0 = M x)."""
+        return lax.dot_general(M, x8, (((1,), (0,)), ((), ())),
+                               preferred_element_type=dt,
+                               precision=_prec)
+
+    def vecmat(x8, M):
+        """panel^T M -> [8, b] (row 0 = x^T M)."""
+        return lax.dot_general(x8, M, (((0,), (0,)), ((), ())),
+                               preferred_element_type=dt,
+                               precision=_prec)
+
+    def offsets(jr, jc):
+        jr = jnp.asarray(jr, jnp.int32)
+        jc = jnp.asarray(jc, jnp.int32)
+        ktop = jr // b
+        base = jc - (ktop - 2) * b
+        ntop = (ktop + 1) * b - jr                 # rows still in ktop
+        return base, ntop
+
+    def rows3(d0, dr):
+        """Slab rows [dr + d0, dr + d0 + b) as a [b, 3b] value (d0
+        static; dr in [0, 8) is the DMA's 8-alignment slack).  An 8-way
+        predicated static copy: dynamic sublane slice starts are not
+        provable for Mosaic, and its dynamic sublane ROTATE is broken
+        on hardware (reduces the shift mod 16 — measured)."""
+        for k in range(8):
+            @pl.when(dr == k)
+            def _(k=k):
+                frbuf[...] = slab[d0 + k:d0 + k + b, :]
+        return frbuf[...]
+
+    def store3(d0, dr, val):
+        """Write a [b, 3b] value to slab rows [dr + d0, ...)."""
+        for k in range(8):
+            @pl.when(dr == k)
+            def _(k=k):
+                slab[d0 + k:d0 + k + b, :] = val
+
+    def ext(d0, dr, jr, jc):
+        """Dense ``A[jr:jr+b, jc:jc+b)`` from slab rows
+        [dr + d0, dr + d0 + b) (d0 static).  Lower-triangle cells
+        exact; cells above the stored window are garbage, masked by
+        callers.  Returns ``(blk, fr)``; pass ``fr`` to the matching
+        ``put`` (nothing touches the rows in between) to skip its
+        reload."""
+        base, ntop = offsets(jr, jc)
+        fr = jnp.concatenate([rows3(d0, dr), jnp.zeros((b, b), dt)],
+                             axis=1)                        # [b, 4b]
+        # rot[cc] = fr[base + cc]: wraps land at cc >= 4b - base >= b
+        hi = pltpu.roll(fr, -base, axis=1)[:, :b]
+        lo = pltpu.roll(fr, b - base, axis=1)[:, :b]
+        return jnp.where(rowi < ntop, hi, lo), fr
+
+    def put(d0, dr, blk, jr, jc, fr):
+        """Inverse of ext: blend ``blk`` into slab rows
+        [dr + d0, dr + d0 + b); ``fr`` is ext's frame for these rows."""
+        base, ntop = offsets(jr, jc)
+        blk4 = jnp.concatenate([blk, zero_bb], axis=1)      # [b, 4b]
+        emb_hi = pltpu.roll(blk4, base - 4 * b, axis=1)
+        emb_lo = pltpu.roll(blk4, base - b - 4 * b, axis=1)
+        in_hi = (col4 >= base) & (col4 < base + b) & (row4 < ntop)
+        in_lo = (col4 >= base - b) & (col4 < base) & (row4 >= ntop)
+        fr = jnp.where(in_hi, emb_hi, jnp.where(in_lo, emb_lo, fr))
+        store3(d0, dr, fr[:, : 3 * b])
+
+    def larfg(x):
+        """Column [b, 1] -> (v [b, 1] with v[0]=1, tau, beta); all-zero
+        tails give tau = 0 (identity). Mirrors _larfg_batched."""
+        alpha = jnp.sum(jnp.where(rowv == 0, x, jnp.zeros((), dt)))
+        amax = jnp.max(jnp.abs(x))
+        sc = jnp.where(amax == 0, jnp.ones((), dt), amax)
+        xs = x / sc
+        xnorm2 = jnp.sum(jnp.where(rowv > 0, xs * xs, jnp.zeros((), dt)))
+        zero = xnorm2 == 0
+        a0 = alpha / sc
+        anorm = sc * jnp.sqrt(a0 * a0 + xnorm2)
+        beta = jnp.where(alpha >= 0, -anorm, anorm)
+        bsafe = jnp.where(zero, jnp.ones((), dt), beta)
+        tau = jnp.where(zero, jnp.zeros((), dt), (beta - alpha) / bsafe)
+        ssafe = jnp.where(zero, jnp.ones((), dt), alpha - beta)
+        v = jnp.where(rowv == 0, jnp.ones((), dt), x * (1.0 / ssafe))
+        v = jnp.where(zero & (rowv > 0), jnp.zeros((), dt), v)
+        return v, tau, jnp.where(zero, alpha, beta)
+
+    def load_v(vi):
+        hot = laneW == vi
+        v = jnp.sum(jnp.where(hot, v_out[...], jnp.zeros((), dt)),
+                    axis=1, keepdims=True)                  # [b, 1]
+        tau = jnp.sum(jnp.where(laneT == vi, tau_out[...],
+                                jnp.zeros((), dt))) * jnp.asarray(
+                                    1.0 / 8.0, dt)
+        return v, tau
+
+    def store_v(vi, v, tau):
+        hot = laneW == vi
+        v_out[...] = jnp.where(hot, v, v_out[...])
+        tau_out[...] = jnp.where(laneT == vi, tau, tau_out[...])
+
+    def slot(mi, _):
+        m = jnp.asarray(W - 1 - mi, jnp.int32)
+        s = jnp.asarray(it, jnp.int32) - m
+        j0 = 1 + jnp.asarray(it_eff, jnp.int32) + m * S
+        # DMA row starts must be 8-aligned; dr is the in-slab slack
+        j0a = pl.multiple_of((j0 // 8) * 8, 8)
+        dr = j0 - j0a
+        cp_in = pltpu.make_async_copy(
+            T_out.at[pl.ds(j0a, 4 * b + 8), :], slab, sem_in)
+        cp_in.start()
+        cp_in.wait()
+
+        Wc = jnp.asarray(W, jnp.int32)
+        vi = lax.rem(lax.rem(s, Wc) + Wc, Wc)          # python-mod
+
+        if lvl < 2:
+            cp_out0 = pltpu.make_async_copy(
+                slab, T_out.at[pl.ds(j0a, 4 * b + 8), :], sem_out)
+            cp_out0.start()
+            cp_out0.wait()
+            return 0
+        # ---- sweep start (slot 0 only): reflector from column it ----
+        @pl.when((m == 0) & (it < nsweeps) & (lvl >= 3))
+        def _():
+            blk, fr0 = ext(0, dr, j0, it)              # rows it+1.., col it
+            x = jnp.sum(jnp.where(coli == 0, blk, jnp.zeros((), dt)),
+                        axis=1, keepdims=True)
+            v_s, tau_s, beta_s = larfg(x)
+            newcol = jnp.where(rowv == 0, beta_s, jnp.zeros((), dt))
+            blk = jnp.where(coli == 0, newcol, blk)
+            put(0, dr, blk, j0, it, fr0)
+            svi = lax.rem(lax.rem(it, Wc) + Wc, Wc)
+            store_v(svi, v_s, tau_s)
+
+        v, tau = load_v(vi)                            # post sweep-start
+
+        cnt = jnp.where(s >= 0, (n - 3 - jnp.maximum(s, 0)) // b + 1,
+                        jnp.zeros((), s.dtype))
+
+        def substep(t, v, tau):
+            jc = j0 + t * b
+            d0 = t * b
+            act = (s >= 0) & (3 * m + t < cnt)
+            if lvl < 4:
+                return v, tau
+            # emit the pre-step reflector (lane-masked blend; garbage
+            # lanes of inactive steps are never referenced by the raw
+            # index map).  ys block layout is [.., b, W]: sweeps on
+            # lanes, so the [b, 1] state column broadcasts directly.
+            v_emit = jnp.where(rowv == 0, tau, v)
+            old = ys_ref[0, t, :, :]
+            ys_ref[0, t, :, :] = jnp.where(laneW == m, v_emit, old)
+
+            if lvl < 5:          # 4: emission only
+                return v, tau
+            # D block (rows [jc, jc+b)); symmetrize from the lower part
+            v8 = pad8(v)
+            Dl, frd = ext(d0, dr, jc, jc)
+            Dl = jnp.where(rowi >= coli, Dl, jnp.zeros((), dt))
+            if lvl < 6:          # 5: ext/put identity round-trip
+                put(d0, dr, Dl, jc, jc, frd)
+                return v, tau
+            Dstrict = jnp.where(rowi > coli, Dl, jnp.zeros((), dt))
+            D = Dl + Dstrict.T
+            if lvl < 7:          # 6: + transpose
+                put(d0, dr, D, jc, jc, frd)
+                return v, tau
+            w1 = tau * matvec(D, v8)
+            corr = jnp.sum(w1 * v8) * tau * 0.5
+            w8 = w1 - corr * v8
+            Dn = D - outer(w8, v8) - outer(v8, w8)
+            Dn = jnp.where(act, Dn, D)
+            put(d0, dr, Dn, jc, jc, frd)
+
+            if lvl < 8:          # 7: full D update
+                return v, tau
+            # B block (rows [jc+b, jc+2b))
+            B, frb = ext(d0 + b, dr, jc + b, jc)
+            y8 = matvec(B, v8)
+            Bn = B - tau * outer(y8, v8)
+            xcol = jnp.sum(jnp.where(coli == 0, Bn, jnp.zeros((), dt)),
+                           axis=1, keepdims=True)
+            v2, tau2, beta2 = larfg(xcol)
+            v28 = pad8(v2)
+            z8 = vecmat(v28, Bn)                        # [8, b]; row0 = z
+            Bn = Bn - tau2 * lax.dot_general(
+                v28, z8, (((1,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=_prec)
+            newc0 = jnp.where(rowv == 0, beta2, jnp.zeros((), dt))
+            Bn = jnp.where(coli == 0, newc0, Bn)
+            Bn = jnp.where(act, Bn, B)
+            put(d0 + b, dr, Bn, jc + b, jc, frb)
+
+            v = jnp.where(act, v2, v)
+            tau = jnp.where(act, tau2, tau)
+            return v, tau
+
+        for t in range(3):
+            v, tau = substep(t, v, tau)
+        store_v(vi, v, tau)
+
+        cp_out = pltpu.make_async_copy(
+            slab, T_out.at[pl.ds(j0a, 4 * b + 8), :], sem_out)
+        cp_out.start()
+        cp_out.wait()
+        return 0
+
+    lax.fori_loop(0, W, slot, 0)
+
+
+def _chase_call(T, vbuf, taubuf, it0, n: int, b: int, niter: int,
+                interpret: bool = False):
+    """One segment (``niter`` iterations) of the Pallas chase."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = _wavefront_width(n, b)
+    Wp = vbuf.shape[1]
+    dt = T.dtype
+    nsweeps = max(n - 2, 0)
+    import os
+    lvl = int(os.environ.get("DLAF_PALLAS_LVL", "99"))
+    kern = partial(_chase_kernel, n=n, b=b, W=W, Wp=Wp, nsweeps=nsweeps,
+                   lvl=lvl)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(niter,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # T
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # vbuf
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # taubuf
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # T out
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # vbuf out
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # taubuf out
+            pl.BlockSpec((1, 3, b, Wp), lambda i, *_: (i, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4 * b + 8, 3 * b), dt),
+            pltpu.VMEM((b, 3 * b), dt),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    fn = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(T.shape, dt),
+            jax.ShapeDtypeStruct(vbuf.shape, dt),
+            jax.ShapeDtypeStruct(taubuf.shape, dt),
+            jax.ShapeDtypeStruct((niter, 3, b, Wp), dt),
+        ),
+        # scalar-prefetch arg counts in the alias numbering: tensor
+        # input k aliases output at k-1
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    it0a = jnp.asarray([it0], jnp.int32)
+    return fn(it0a, T, vbuf, taubuf)
+
+
+@partial(jax.jit, static_argnames=("niter", "W", "b"),
+         donate_argnums=(0,))
+def _seg_transpose(ys, niter: int, W: int, b: int):
+    return jnp.transpose(ys[:, :, :, :W],
+                         (0, 1, 3, 2)).reshape(niter * 3 * W, b)
+
+
+def pallas_band_to_tridiagonal(ab, band: int,
+                               interpret: bool | None = None
+                               ) -> HHChaseResult:
+    """Device-resident chase via the Pallas kernel; same result
+    contract as ``wavefront_band_to_tridiagonal`` (segmented raw
+    emission stream + index map)."""
+    bp1, n = ab.shape
+    b = band
+    if bp1 != b + 1:
+        raise ValueError(f"ab rows {bp1} != band+1 {b + 1}")
+    if np.iscomplexobj(ab):
+        raise ValueError("pallas chase is real-only")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    _, R = hh_schedule(n, b)
+    if n <= 2 or b <= 1:
+        d = np.asarray(jnp.asarray(ab)[0, :n].real, np.float64)
+        e = np.asarray(jnp.asarray(ab)[1, :max(n - 1, 0)].real
+                       if b >= 1 else np.zeros(max(n - 1, 0)),
+                       np.float64)
+        return HHChaseResult(d, e, jnp.zeros((R, max(b, 1)), ab.dtype),
+                             n, b, None)
+    ab = jnp.asarray(ab)
+    dt = ab.dtype
+    W = _wavefront_width(n, b)
+    # lane dims below 128 (or unaligned) crash / are rejected by the
+    # Mosaic tiling; pad every sweep-indexed lane axis to a 128 multiple
+    Wp = max(-(-W // 128) * 128, 128)
+    T = build_t(ab, n, b)
+    # v columns / tau row: the kernel indexes sweeps by lane so no
+    # vector transposes are ever needed
+    vbuf = jnp.zeros((b, Wp), dt)
+    taubuf = jnp.zeros((8, Wp), dt)   # tau replicated over 8 sublanes
+    nsweeps = n - 2
+    niter = _segment_iters(n, b, np.dtype(dt).itemsize)
+    segs = []
+    for it0 in range(0, nsweeps, niter):
+        T, vbuf, taubuf, ys = _chase_call(T, vbuf, taubuf, it0,
+                                          n=n, b=b, niter=niter,
+                                          interpret=interpret)
+        # kernel emits [niter, 3, b, W] (lane-major); raw-stream order
+        # is [(it*3 + tau)*W + m, b]
+        segs.append(_seg_transpose(ys, niter=niter, W=W, b=b))
+    d, e = t_diagonals(T, n=n, b=b)
+    d = np.asarray(np.asarray(d), np.float64)
+    e = np.asarray(np.asarray(e), np.float64)
+    return HHChaseResult(d, e, None, n, b, None,
+                         V_raw=segs, V_raw_map=_raw_index_map(n, b))

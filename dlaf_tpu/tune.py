@@ -67,7 +67,9 @@ class TuneParameters:
     #: MXU back-transform, the reference's SweepWorker formulation),
     #: "wavefront" (the chase itself on the TPU as one lax.scan —
     #: wavefront_chase.py; real dtypes, single process; falls back to
-    #: "hh" otherwise), or "givens" (rotation chase + wave back-transform).
+    #: "hh" otherwise), "pallas" (the wavefront schedule as a manual-DMA
+    #: Mosaic kernel — pallas_chase.py; correct, perf WIP), or "givens"
+    #: (rotation chase + wave back-transform).
     band_to_tridiag_algo: str = _env("DLAF_B2T_ALGO", "hh", str)
     #: reduction-to-band trailing blocks larger than this stream the
     #: two-sided update over column chunks instead of materializing the

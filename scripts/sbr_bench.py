@@ -88,3 +88,5 @@ if __name__ == "__main__":
                   f"{str(exc).splitlines()[0][:200]}", flush=True)
             gc.collect()
             time.sleep(120)
+    else:
+        raise SystemExit(1)
