@@ -84,6 +84,16 @@ def sbr_real_windows(n: int, h: int, g: int):
     return idx.astype(np.int64), np.asarray(js, np.int32)
 
 
+def sbr_stage2_ops(n: int, h: int, g: int) -> float:
+    """Honest flop model (mul+add) of the stage-2 block chase: per real
+    window one two-sided compact-WY on [h, h] (~8 h^2 g) plus the bulge
+    right-apply/QR/left-apply on [h, h] (~6 h^2 g + O(h g^2)); the
+    miniapp/bench rate lines divide by this, not by the one-stage
+    reduction model."""
+    nw = len(sbr_real_windows(n, h, g)[0])
+    return float(nw) * (14.0 * h * h * g + 8.0 * h * g * g)
+
+
 def band_to_band_numpy(A: np.ndarray, h: int, g: int):
     """Reference/fallback block chase on a FULL Hermitian matrix (lower
     bandwidth <= h assumed), in place; returns the chronological

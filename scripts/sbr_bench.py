@@ -66,10 +66,15 @@ def run(n, b1, band=128):
             sync(ab)
             t4 = time.perf_counter()
             nseg = len(res.segs)
+            from dlaf_tpu.algorithms.eigensolver.band_reduction import (
+                sbr_stage2_ops)
+            gf1 = (2 / 3 * n**3 - n**2 * b1) / max(t1 - t0, 1e-9) / 1e9
+            gf2 = sbr_stage2_ops(n, b1, band) / max(t3 - t2, 1e-9) / 1e9
             print(f"[{tag}] two-stage n={n} b1={b1}->b={band}: stage1 "
-                  f"{t1-t0:.2f}s  dense {t2-t1:.2f}s  stage2 {t3-t2:.2f}s "
-                  f"({nseg} segs)  extract {t4-t3:.2f}s  TOTAL "
-                  f"{t4-t0:.2f}s", flush=True)
+                  f"{t1-t0:.2f}s ({gf1:.0f} GF/s)  dense {t2-t1:.2f}s  "
+                  f"stage2 {t3-t2:.2f}s ({gf2:.0f} GF/s model, {nseg} "
+                  f"segs)  extract {t4-t3:.2f}s  TOTAL {t4-t0:.2f}s",
+                  flush=True)
             del dense, res, ab, taus, mat
 
 
