@@ -14,15 +14,16 @@ Example:
       --grids 1x1 2x2 2x4 --out scaling.csv
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-
 from __future__ import annotations
 
 import argparse
 import math
+import os as _os
 import subprocess
 import sys
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 def main():

@@ -59,3 +59,37 @@ def test_device_side_generators():
             mu.random_hermitian_positive_definite_device(129, dt, seed=3))
         w = np.linalg.eigvalsh(a)
         assert w.min() > 129          # centered at 2n, radius ~sqrt(n)
+
+
+def test_weak_scaling_table(tmp_path):
+    """run_scaling --mode weak + plot_scaling --weak: the efficiency
+    table compares per-device rates ACROSS matrix sizes (reference
+    plot_*_weak.py definition)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    csv = str(tmp_path / "weak.csv")
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+                "PYTHONPATH": repo})
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "run_scaling.py"),
+         "cholesky", "--mode", "weak", "-n", "128", "-b", "32",
+         "--grids", "1x1", "2x2", "--nruns", "1", "--out", csv],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "plot_scaling.py"),
+         csv, "--weak"], env=env, cwd=repo, capture_output=True,
+        text=True, timeout=120)
+    assert r2.returncode == 0, (r2.stdout, r2.stderr[-1500:])
+    assert "weak scaling" in r2.stdout and "eff %" in r2.stdout
+    # two grid rows with different matrix sizes in ONE table
+    lines = [ln for ln in r2.stdout.splitlines()
+             if ln.strip().startswith(("1x", "2x"))]
+    assert len(lines) == 2, r2.stdout
+    ns = {ln.split()[2] for ln in lines}
+    assert len(ns) == 2, r2.stdout       # n grew with the grid
