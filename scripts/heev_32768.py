@@ -24,19 +24,23 @@ def main():
     from dlaf_tpu.matrix.matrix import DistMatrix
     from dlaf_tpu.tune import set_tune_parameters
 
-    n, nb, band = 32768, 2048, 128
+    import sys as _s
+    n = int(_s.argv[1]) if len(_s.argv) > 1 else 32768
+    nb, band = (2048 if n >= 16384 else 1024), 128
     # lean settings: every stage <= ~9.5 GB so the run survives heavy
     # co-tenant HBM pressure on the shared worker (defaults peak ~10.5)
     set_tune_parameters(trace_eigensolver_stages=True, bt_group_size=128,
                         dc_stage_bytes=512 << 20, dc_lean_bytes=512 << 20,
                         dc_lean_rowblock=2048)
+    sbr = int(os.environ.get("HEEV32K_SBR", "0"))
+    if sbr:
+        set_tune_parameters(eigensolver_sbr_band=sbr)
+        print(f"SBR enabled: b1={sbr}", flush=True)
 
-    print(f"building input n={n} (device-side)", flush=True)
-    a = mu.random_hermitian_device(n, np.float32, seed=11)
-    # keep only a thin host slice for the residual spot check
-    probe_rows = np.asarray(a[:64])
-    mat = DistMatrix.from_natural(a, (nb, nb), None)
-    del a
+    print(f"building input n={n} (device-side, lean)", flush=True)
+    mat = mu.random_hermitian_dist(n, nb, dtype=np.float32, seed=11)
+    probe_rows = np.asarray(mat.to_natural()[:64]) \
+        if not os.environ.get("HEEV32K_SKIP_PROBE") else None
 
     t0 = time.time()
     lam, v = hermitian_eigensolver(mat, "L", band_size=band,
