@@ -54,8 +54,7 @@ def run(n, b1, band=128):
             mat_hh, taus = reduction_to_band(mat, b1, donate=True)
             sync(mat_hh.data)
             t1 = time.perf_counter()
-            dense = band_dense_from_reduction(natural_exact(mat_hh),
-                                              b1)
+            dense = band_dense_from_reduction(mat_hh, b1)
             del mat_hh
             sync(dense)
             t2 = time.perf_counter()
