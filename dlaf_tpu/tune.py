@@ -58,7 +58,9 @@ class TuneParameters:
     #: wave-group size of the MXU banded back-transform (BT band->tridiag);
     #: the reference's ``bt_band_to_tridiag_hh_apply_group_size`` analogue.
     #: For the "hh" chase it is the number of sweeps per compact-WY window.
-    bt_group_size: int = _env("DLAF_BT_GROUP_SIZE", 64, int)
+    #: Measured sweep at n=16384 b=128 (r4): g=64 1.90 s, g=128 1.39,
+    #: g=192 1.73, g=256 1.58 -> 128 is the knee.
+    bt_group_size: int = _env("DLAF_BT_GROUP_SIZE", 128, int)
     #: panels aggregated per compact-WY block in BT-R2B (outer gemm
     #: contraction depth = group * band; quads measured 1.68x over
     #: singles at n = 16384 b = 128).
