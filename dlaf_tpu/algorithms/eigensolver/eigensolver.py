@@ -132,6 +132,14 @@ def hermitian_eigensolver(
         a = None          # buffer donated into the reduction jit
     mark("reduction_to_band", mat_hh.data)
     b2t_algo = tp.band_to_tridiag_algo
+    if b2t_algo == "auto":
+        # measured policy (BASELINE.md r4): on-device wavefront wins up
+        # to wavefront_max_n on accelerator backends and is immune to
+        # tunnel-wire variance; the host chase amortizes better at the
+        # largest sizes (and on CPU, where the scan has no MXU to ride)
+        b2t_algo = ("wavefront"
+                    if (jax.default_backend() not in ("cpu",)
+                        and n <= int(tp.wavefront_max_n)) else "hh")
     use_wavefront = (b2t_algo in ("wavefront", "pallas")
                      and not np.issubdtype(np.dtype(adtype),
                                            np.complexfloating)

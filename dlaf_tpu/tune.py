@@ -65,14 +65,23 @@ class TuneParameters:
     #: contraction depth = group * band; quads measured 1.68x over
     #: singles at n = 16384 b = 128).
     bt_r2b_group_size: int = _env("DLAF_BT_R2B_GROUP_SIZE", 4, int)
-    #: band->tridiag algorithm: "hh" (host Householder chase + compact-WY
-    #: MXU back-transform, the reference's SweepWorker formulation),
-    #: "wavefront" (the chase itself on the TPU as one lax.scan —
+    #: band->tridiag algorithm: "auto" (DEFAULT: on an accelerator
+    #: backend the on-device wavefront chase up to ``wavefront_max_n``
+    #: — measured wins: n=8192 HEEV 4.1 vs 5.7 s, n=16384 23.2 vs
+    #: 29.4 s warm, and immune to the tunnel-wire variance that blows
+    #: the host path to 45+ s on bad days — the host chase above it and
+    #: on CPU), "hh" (host Householder chase + compact-WY MXU
+    #: back-transform, the reference's SweepWorker formulation),
+    #: "wavefront" (the chase on the TPU as one lax.scan —
     #: wavefront_chase.py; real dtypes, single process; falls back to
     #: "hh" otherwise), "pallas" (the wavefront schedule as a manual-DMA
     #: Mosaic kernel — pallas_chase.py; correct, perf WIP), or "givens"
     #: (rotation chase + wave back-transform).
-    band_to_tridiag_algo: str = _env("DLAF_B2T_ALGO", "hh", str)
+    band_to_tridiag_algo: str = _env("DLAF_B2T_ALGO", "auto", str)
+    #: largest n "auto" runs the on-device wavefront chase for (the host
+    #: chase amortizes better at the largest sizes when the wire is
+    #: healthy: 32k chase 50 s + hidden upload vs 83 s wavefront).
+    wavefront_max_n: int = _env("DLAF_WAVEFRONT_MAX_N", 16384, int)
     #: reduction-to-band trailing blocks larger than this stream the
     #: two-sided update over column chunks instead of materializing the
     #: full [pmp, pmp] trailing block twice per panel (0 = never stream).

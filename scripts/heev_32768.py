@@ -50,6 +50,17 @@ def main():
     t1 = time.time()
     print(f"HEEV n={n} wall {t1 - t0:.1f}s (cold, incl. compile)",
           flush=True)
+    if os.environ.get("HEEV32K_WARM_REPEAT"):
+        del v
+        mat = mu.random_hermitian_dist(n, nb, dtype=np.float32, seed=12)
+        t2 = time.time()
+        lam, v = hermitian_eigensolver(mat, "L", band_size=band,
+                                       donate_input=True)
+        del mat
+        lam = np.asarray(lam)
+        t3 = time.time()
+        print(f"HEEV n={n} wall {t3 - t2:.1f}s (WARM, in-process)",
+              flush=True)
 
     if os.environ.get("HEEV32K_SKIP_PROBE"):
         # the probe fetches the full 4.3 GB eigenvector matrix through
