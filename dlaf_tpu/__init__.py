@@ -52,7 +52,8 @@ from .algorithms.eigensolver.reduction_to_band import reduction_to_band
 from .algorithms.eigensolver.tridiag_solver import tridiagonal_eigensolver
 from .algorithms.eigensolver.eigensolver import (
     hermitian_eigensolver, hermitian_eigensolver_host,
-    hermitian_generalized_eigensolver)
+    hermitian_generalized_eigensolver,
+    hermitian_generalized_eigensolver_host)
 
 __version__ = "0.1.0"
 
@@ -81,4 +82,5 @@ __all__ = [
     "hermitian_eigensolver",
     "hermitian_eigensolver_host",
     "hermitian_generalized_eigensolver",
+    "hermitian_generalized_eigensolver_host",
 ]

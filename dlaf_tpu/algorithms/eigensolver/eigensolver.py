@@ -361,6 +361,69 @@ def hermitian_eigensolver_host(
     return extract_eigenpairs(lam2, v2n, n, n_ev=n_ev)
 
 
+def hermitian_generalized_eigensolver_host(
+        a: np.ndarray, b: np.ndarray, block_size, uplo: str = "L", *,
+        factorized: bool = False,
+        eigenvalues_index_end: Optional[int] = None,
+        **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """Complex generalized eigenproblem A x = lambda B x for real-only
+    backends (same pair-of-reals embedding as
+    :func:`hermitian_eigensolver_host`, applied to BOTH operands).
+
+    A real generalized eigenvector ``v = [p; q]`` of the embedded pencil
+    maps to the complex one ``u = p + iq``; the doubled spectrum's
+    cluster extraction reuses the standard machinery, followed by a
+    B-metric re-orthonormalization (generalized eigenvectors are
+    B-orthonormal, not orthonormal).  ``factorized=True`` means ``b``
+    holds B's Cholesky factor; B is reassembled host-side before
+    embedding (the factor of the embedding is not the embedding of the
+    factor).
+    """
+    from .complex_embed import embed_hermitian, extract_eigenpairs
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = a.shape[0]
+    if not np.issubdtype(a.dtype, np.complexfloating):
+        raise ValueError("complex boundary; real input goes through "
+                         "hermitian_generalized_eigensolver")
+    if uplo == "U":
+        a = np.triu(a) + np.triu(a, 1).conj().T
+    elif uplo == "L":
+        a = np.tril(a) + np.tril(a, -1).conj().T
+    else:
+        raise ValueError("invalid uplo")
+    if factorized:
+        f = np.tril(b) if uplo == "L" else np.triu(b)
+        b = f @ f.conj().T if uplo == "L" else f.conj().T @ f
+    else:
+        b = (np.tril(b) + np.tril(b, -1).conj().T if uplo == "L"
+             else np.triu(b) + np.triu(b, 1).conj().T)
+    n_ev = n if eigenvalues_index_end is None else int(eigenvalues_index_end)
+    if isinstance(block_size, int):
+        block_size = (block_size, block_size)
+    Ma = DistMatrix.from_natural(jnp.asarray(embed_hermitian(a)),
+                                 block_size)
+    Mb = DistMatrix.from_natural(jnp.asarray(embed_hermitian(b)),
+                                 block_size)
+    n_ev2 = min(2 * n, 2 * n_ev + 2) if n_ev < n else 2 * n
+    lam2, v2 = hermitian_generalized_eigensolver(
+        Ma, Mb, "L", eigenvalues_index_end=n_ev2, **kw)
+    lam2 = np.asarray(lam2)
+    v2n = np.asarray(v2.to_natural())
+    if n_ev2 < 2 * n:
+        lam2 = np.concatenate([lam2, np.full(2 * n - n_ev2, np.inf,
+                                             lam2.dtype)])
+        v2n = np.concatenate(
+            [v2n, np.zeros((2 * n, 2 * n - n_ev2), v2n.dtype)], axis=1)
+    lam, U = extract_eigenpairs(lam2, v2n, n, n_ev=n_ev)
+    # B-metric re-orthonormalization: the extraction's plain QR broke
+    # B-orthonormality; restore it with the Cholesky of the small Gram
+    G = U.conj().T @ (b.astype(np.complex128) @ U)
+    L = np.linalg.cholesky((G + G.conj().T) / 2)
+    U = (U @ np.linalg.inv(L).conj().T).astype(U.dtype)
+    return lam, U
+
+
 def hermitian_generalized_eigensolver(
         a: DistMatrix, b: DistMatrix, uplo: str = "L", *,
         factorized: bool = False,

@@ -264,6 +264,30 @@ def _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz,
                      factorized=False, n_ev=None):
     from .. import hermitian_generalized_eigensolver
     grid = _grid_from_context(ctx)
+    from ..algorithms.eigensolver.complex_embed import needs_real_embedding
+    if needs_real_embedding(np.asarray(a).dtype):
+        from ..algorithms.eigensolver.eigensolver import (
+            hermitian_generalized_eigensolver_host)
+        if a.shape != (desca.m, desca.n):
+            a = np.asarray(a).reshape(desca.m, desca.n, order="F")
+        if b.shape != (descb.m, descb.n):
+            b = np.asarray(b).reshape(descb.m, descb.n, order="F")
+        nop = desca.subm if desca.subm is not None else \
+            desca.m - desca.i + 1
+        suba = a[desca.i - 1:desca.i - 1 + nop,
+                 desca.j - 1:desca.j - 1 + nop]
+        subb = b[descb.i - 1:descb.i - 1 + nop,
+                 descb.j - 1:descb.j - 1 + nop]
+        lam, U = hermitian_generalized_eigensolver_host(
+            suba, subb, (desca.mb, desca.nb), uplo.upper(),
+            factorized=factorized, eigenvalues_index_end=n_ev)
+        w[: len(lam)] = lam
+        zdst = z[:, : U.shape[1]] if z.ndim == 2 else z
+        if zdst.shape == U.shape:
+            zdst[...] = U
+        else:
+            zdst.reshape(-1)[: U.size] = U.ravel(order="F")
+        return 0
     ma = _wrap(a, desca, grid)
     mb = _wrap(b, descb, grid)
     lam, v = hermitian_generalized_eigensolver(

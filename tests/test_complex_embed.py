@@ -122,3 +122,64 @@ def test_cherk_pair():
     C = pair_to_complex(cr, ci)
     np.testing.assert_allclose(C, A @ A.conj().T, atol=1e-12)
     np.testing.assert_allclose(np.asarray(cr), np.asarray(cr).T, atol=1e-12)
+
+
+def test_host_generalized_eigensolver_complex():
+    """Complex HEGV via the double embedding: A x = lam B x with
+    B-orthonormal complex eigenvectors, plain and factorized."""
+    import scipy.linalg as sla
+
+    from dlaf_tpu import hermitian_generalized_eigensolver_host
+
+    rng = np.random.default_rng(21)
+    n = 28
+    a = random_hermitian_c(n, np.complex128, 21)
+    m = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    b = m @ m.conj().T + n * np.eye(n)
+
+    lam, U = hermitian_generalized_eigensolver_host(a, b, 8, "L")
+    want = sla.eigh(a, b, eigvals_only=True)
+    np.testing.assert_allclose(lam, want, atol=1e-9)
+    resid = np.linalg.norm(a @ U - (b @ U) * lam[None, :])
+    assert resid / np.linalg.norm(a) < 1e-9
+    np.testing.assert_allclose(U.conj().T @ b @ U, np.eye(n), atol=1e-9)
+
+    # factorized form: pass B's Cholesky factor
+    f = np.linalg.cholesky(b)
+    lam2, U2 = hermitian_generalized_eigensolver_host(
+        a, f, 8, "L", factorized=True)
+    np.testing.assert_allclose(lam2, want, atol=1e-9)
+
+    # partial spectrum
+    k = 5
+    lam3, U3 = hermitian_generalized_eigensolver_host(
+        a, b, 8, "L", eigenvalues_index_end=k)
+    assert lam3.shape == (k,) and U3.shape == (n, k)
+    np.testing.assert_allclose(lam3, want[:k], atol=1e-9)
+
+
+def test_c_api_complex_gen_embedding_route(monkeypatch):
+    from dlaf_tpu.algorithms.eigensolver import complex_embed
+    from dlaf_tpu.api import c_api
+
+    monkeypatch.setattr(complex_embed, "needs_real_embedding",
+                        lambda dt: np.issubdtype(np.dtype(dt),
+                                                 np.complexfloating))
+    import scipy.linalg as sla
+    rng = np.random.default_rng(22)
+    n, nb = 16, 4
+    a = random_hermitian_c(n, np.complex128, 22)
+    m = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    b = m @ m.conj().T + n * np.eye(n)
+    ctx = c_api.dlaf_create_grid(1, 1)
+    w = np.zeros(n)
+    z = np.zeros((n, n), np.complex128)
+    desc = c_api.DLAF_descriptor(n, n, nb, nb, ld=n)
+    rc = c_api.dlaf_hermitian_generalized_eigensolver_z(
+        ctx, "L", a.copy(), desc, b.copy(), desc, w, z, desc)
+    assert rc == 0
+    np.testing.assert_allclose(w, sla.eigh(a, b, eigvals_only=True),
+                               atol=1e-8)
+    resid = np.linalg.norm(a @ z - (b @ z) * w[None, :])
+    assert resid / np.linalg.norm(a) < 1e-8
+    c_api.dlaf_free_grid(ctx)
