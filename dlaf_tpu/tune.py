@@ -78,10 +78,13 @@ class TuneParameters:
     #: Mosaic kernel — pallas_chase.py; correct, perf WIP), or "givens"
     #: (rotation chase + wave back-transform).
     band_to_tridiag_algo: str = _env("DLAF_B2T_ALGO", "auto", str)
-    #: largest n "auto" runs the on-device wavefront chase for (the host
-    #: chase amortizes better at the largest sizes when the wire is
-    #: healthy: 32k chase 50 s + hidden upload vs 83 s wavefront).
-    wavefront_max_n: int = _env("DLAF_WAVEFRONT_MAX_N", 16384, int)
+    #: largest n "auto" runs the on-device wavefront chase for.  At 32k
+    #: the host path is 118-152 s on a healthy wire but 241 s measured
+    #: on a degraded one (the 2.15 GB reflector upload is hostage to the
+    #: tunnel), while the wavefront end-to-end is a steady ~120-125
+    #: (chase 83 s measured) — expected value favors the wavefront at
+    #: every size, so the default cutoff is above the north star.
+    wavefront_max_n: int = _env("DLAF_WAVEFRONT_MAX_N", 65536, int)
     #: reduction-to-band trailing blocks larger than this stream the
     #: two-sided update over column chunks instead of materializing the
     #: full [pmp, pmp] trailing block twice per panel (0 = never stream).
