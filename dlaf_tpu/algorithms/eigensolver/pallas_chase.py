@@ -238,6 +238,43 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         fr = jnp.where(in_hi, emb_hi, jnp.where(in_lo, emb_lo, fr))
         store3(d0, dr, fr[:, : 3 * b])
 
+    # -- static-base window algebra on the WHOLE-ROLLED slab ----------
+    # Within a slot, jc = j0 + t*b for t = 0,1,2, so jc mod b == j0
+    # mod b =: sh is slot-constant and the staircase bases are
+    # base_D = 2b + sh (D at [jc, jc)), base_B = b + sh (B at
+    # [jc+b, jc)), ntop = b - sh for BOTH.  Rolling the whole slab
+    # left by sh once per slot (sl'[r, c] = sl[r, c + sh]) makes both
+    # bases STATIC (2b and b): ext/put collapse to static slices and
+    # static-position blends — zero rolls in the substep bodies,
+    # replacing 24 [b, 4b] rolls per slot with 2 whole-slab rolls.
+    # Wrap-around cells (rolled cols [3b-sh, 3b) = original bulge-
+    # workspace cols [0, sh)) sit at band depth > 2b: dead cells.  D's
+    # windows mask them (upper triangle); B windows only ever contain
+    # depth <= 2b cells, so writing garbage there is never observed
+    # (t_diagonals reads depths 0/1 only).
+    row3 = lax.broadcasted_iota(jnp.int32, (b, 3 * b), 0)
+    col3 = lax.broadcasted_iota(jnp.int32, (b, 3 * b), 1)
+    zbb = jnp.zeros((b, b), dt)
+
+    def ext_s(fr, baseS, ntop):
+        """Window from a rolled [b, 3b] frame; baseS is a python int."""
+        hi = fr[:, baseS:baseS + b]
+        lo = fr[:, baseS - b:baseS]
+        return jnp.where(rowi < ntop, hi, lo)
+
+    def put_s(fr, blk, baseS, ntop):
+        """Blend blk back at static base; returns the new frame
+        (caller stores it — frames chain across substeps)."""
+        if baseS == 2 * b:
+            emb_hi = jnp.concatenate([zbb, zbb, blk], axis=1)
+            emb_lo = jnp.concatenate([zbb, blk, zbb], axis=1)
+        else:
+            emb_hi = jnp.concatenate([zbb, blk, zbb], axis=1)
+            emb_lo = jnp.concatenate([blk, zbb, zbb], axis=1)
+        in_hi = (col3 >= baseS) & (col3 < baseS + b) & (row3 < ntop)
+        in_lo = (col3 >= baseS - b) & (col3 < baseS) & (row3 >= ntop)
+        return jnp.where(in_hi, emb_hi, jnp.where(in_lo, emb_lo, fr))
+
     def larfg(x):
         """Column [b, 1] -> (v [b, 1] with v[0]=1, tau, beta); all-zero
         tails give tau = 0 (identity). Mirrors _larfg_batched."""
@@ -310,12 +347,20 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         cnt = jnp.where(s >= 0, (n - 3 - jnp.maximum(s, 0)) // b + 1,
                         jnp.zeros((), s.dtype))
 
-        def substep(t, v, tau):
+        # whole-slab roll: slot-static window bases (see ext_s/put_s)
+        sh = j0 - (j0 // b) * b
+        ntop = b - sh
+        if lvl >= 5:
+            slab[...] = pltpu.roll(slab[...], -sh, axis=1)
+
+        def substep(t, v, tau, frd):
+            """frd: rolled frame for rows [t*b + dr, ...) chained from
+            the previous substep's B put (same slab rows), or None."""
             jc = j0 + t * b
             d0 = t * b
             act = (s >= 0) & (3 * m + t < cnt)
             if lvl < 4:
-                return v, tau
+                return v, tau, None
             # emit the pre-step reflector (lane-masked blend; garbage
             # lanes of inactive steps are never referenced by the raw
             # index map).  ys block layout is [.., b, W]: sweeps on
@@ -325,30 +370,33 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             ys_ref[0, t, :, :] = jnp.where(laneW == m, v_emit, old)
 
             if lvl < 5:          # 4: emission only
-                return v, tau
+                return v, tau, None
             # D block (rows [jc, jc+b)); symmetrize from the lower part
             v8 = pad8(v)
-            Dl, frd = ext(d0, dr, jc, jc)
+            if frd is None:
+                frd = rows3(d0, dr)
+            Dl = ext_s(frd, 2 * b, ntop)
             Dl = jnp.where(rowi >= coli, Dl, jnp.zeros((), dt))
             if lvl < 6:          # 5: ext/put identity round-trip
-                put(d0, dr, Dl, jc, jc, frd)
-                return v, tau
+                store3(d0, dr, put_s(frd, Dl, 2 * b, ntop))
+                return v, tau, None
             Dstrict = jnp.where(rowi > coli, Dl, jnp.zeros((), dt))
             D = Dl + Dstrict.T
             if lvl < 7:          # 6: + transpose
-                put(d0, dr, D, jc, jc, frd)
-                return v, tau
+                store3(d0, dr, put_s(frd, D, 2 * b, ntop))
+                return v, tau, None
             w1 = tau * matvec(D, v8)
             corr = jnp.sum(w1 * v8) * tau * 0.5
             w8 = w1 - corr * v8
             Dn = D - outer(w8, v8) - outer(v8, w8)
             Dn = jnp.where(act, Dn, D)
-            put(d0, dr, Dn, jc, jc, frd)
+            store3(d0, dr, put_s(frd, Dn, 2 * b, ntop))
 
             if lvl < 8:          # 7: full D update
-                return v, tau
+                return v, tau, None
             # B block (rows [jc+b, jc+2b))
-            B, frb = ext(d0 + b, dr, jc + b, jc)
+            frb = rows3(d0 + b, dr)
+            B = ext_s(frb, b, ntop)
             y8 = matvec(B, v8)
             Bn = B - tau * outer(y8, v8)
             xcol = jnp.sum(jnp.where(coli == 0, Bn, jnp.zeros((), dt)),
@@ -362,15 +410,22 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             newc0 = jnp.where(rowv == 0, beta2, jnp.zeros((), dt))
             Bn = jnp.where(coli == 0, newc0, Bn)
             Bn = jnp.where(act, Bn, B)
-            put(d0 + b, dr, Bn, jc + b, jc, frb)
+            # B's rows ARE the next substep's D rows: store the blended
+            # frame and hand it forward, skipping that substep's rows3
+            frb = put_s(frb, Bn, b, ntop)
+            store3(d0 + b, dr, frb)
 
             v = jnp.where(act, v2, v)
             tau = jnp.where(act, tau2, tau)
-            return v, tau
+            return v, tau, frb
 
+        frc = None
         for t in range(3):
-            v, tau = substep(t, v, tau)
+            v, tau, frc = substep(t, v, tau, frc)
         store_v(vi, v, tau)
+
+        if lvl >= 5:
+            slab[...] = pltpu.roll(slab[...], sh - 3 * b, axis=1)
 
         cp_out = pltpu.make_async_copy(
             slab, T_out.at[pl.ds(j0a, 4 * b + 8), :], sem_out)
