@@ -12,7 +12,7 @@ Storage: the "staircase" strip ``T [n_pad, 3b]`` with
 ``T[r, c] = A[r, (floor(r/b) - 2) * b + c]`` — each b-row block holds a
 DENSE rectangle of the band+bulge columns, so every window block
 (``D = A[jc:jc+b, jc:jc+b)``, ``B = A[jc+b:jc+2b, jc:jc+b)``) is
-assembled from two static-width slices of a [b, 4b] frame at a traced
+assembled from two static-width slices of a [b, 3b] frame at a traced
 column offset and a row-boundary blend — no gathers, no reshape
 tricks, Mosaic-friendly.  Only the lower triangle is stored; D is
 symmetrized in VMEM by one [b, b] transpose.
@@ -23,6 +23,27 @@ slot m read exactly slot m+1's post-substep-0 values — the same
 linearization the XLA scan realizes with its read patch (see
 ``wavefront_chase._wavefront_scan_seg``).
 
+GROUPED double-buffered DMA (r5): slots are processed in groups of
+``G = 8`` (the slot row pitch ``S = 3b - 1`` is odd, so ``G`` must be a
+multiple of 8 for the group pitch ``G*S`` to keep the 8-sublane DMA
+alignment invariant between consecutive groups).  One contiguous
+``[GH, 3b]`` region covers a whole group's frames exactly
+(``GH = G*S + OVa``, ``OVa = round8(b + 17)``), and consecutive group
+regions overlap by the STATIC ``OVa`` rows:
+
+* group ``g+1``'s region is prefetched (second buffer) while group
+  ``g`` computes;
+* after compute, the ``OVa`` overlap rows are patched buffer-to-buffer
+  in VMEM (they carry group ``g``'s freshest writes; the prefetched
+  HBM copy of those rows is stale by construction);
+* group ``g``'s write-back DMA skips its first ``OVa`` rows — group
+  ``g+1`` (which computes on and writes them last) owns them — so no
+  two in-flight DMAs ever write the same HBM row.
+
+This removes the two serial per-slot DMA round trips of the r4 kernel
+(one in + one out per slot, each with full latency on the critical
+path) in favor of 2 overlapped DMAs per 8 slots.
+
 Drop-in segment replacement: the kernel call has the same
 ``(flat-ish, v, tau, it0) -> (state, v, tau, ys)`` contract as
 ``_wavefront_scan_seg`` with ys in identical emission order, so the
@@ -30,20 +51,12 @@ raw-stream consumers (``_raw_index_map``, ``gather_raw_rows``,
 ``bt_hh_window_stream``) are reused unchanged.  Select with
 ``DLAF_B2T_ALGO=pallas``.
 
-Status (r4, measured on the v5e): CORRECT on hardware — per-iteration
-agreement with interpret mode at f32 rounding (1e-7), eigenvalues
-match the XLA wavefront to 2e-3 at n = 2048 (the 2e-2 spread vs the
-host chase is the known f32 trajectory-divergence property shared by
-ALL implementations).  NOT yet fast: ~120 us/slot (serial window DMA +
-lane-roll chains) vs the ~5 us needed to beat the XLA scan; the next
-levers are slot double-buffering with overlap-row patching and one
-whole-slab lane roll per slot instead of per-ext rolls.  Hard-won
-Mosaic facts baked into the code: dynamic SUBLANE rotates are broken
-on hardware (shift reduced mod 16 — replaced by 8-way predicated
-static copies); dynamic LANE rotates are exact for negative shifts;
-DMA row offsets must be 8-aligned (pl.multiple_of hint); size-1 minor
-dims in matmuls and sub-128 lane tiles crash the compiler (hence the
-[b, 8] thin panels and 128-padded sweep-lane buffers).
+Hard-won Mosaic facts baked into the code: dynamic SUBLANE rotates are
+broken on hardware (shift reduced mod 16 — replaced by 8-way
+predicated static copies); dynamic LANE rotates are exact for negative
+shifts; DMA row offsets must be 8-aligned (pl.multiple_of hint);
+size-1 minor dims in matmuls and sub-128 lane tiles crash the compiler
+(hence the [b, 8] thin panels and 128-padded sweep-lane buffers).
 """
 
 from __future__ import annotations
@@ -59,14 +72,32 @@ from .hh_chase import HHChaseResult, hh_schedule
 from .wavefront_chase import (_raw_index_map, _segment_iters,
                               _wavefront_width)
 
+#: slots per DMA group; G*S must be a multiple of 8 and S = 3b-1 is odd
+_GROUP = 8
+
+
+def _group_width(n: int, b: int) -> int:
+    """Slot count padded up to a whole number of groups; the padded
+    slots host sweeps with ``3m >= tmax`` and are inactive at every
+    iteration (their reflector-ring accesses are no-op read/writes)."""
+    W = _wavefront_width(n, b)
+    return -(-W // _GROUP) * _GROUP
+
+
+def _ova(b: int) -> int:
+    """Static inter-group row overlap: consecutive groups' regions
+    share ``GH - G*S = OVa`` rows; ``b + 17`` covers the one-slot slab
+    tail ``4b + 8 + 8`` minus the group pitch, rounded to sublanes."""
+    return -(-(b + 17) // 8) * 8
+
 
 def _t_rows(n: int, b: int) -> int:
-    """T height covering the furthest slot's slab, aligned to the
+    """T height covering the top group's DMA region, aligned to the
     staircase block (and to 8 sublanes)."""
     import math
-    W = _wavefront_width(n, b)
+    Wg = _group_width(n, b)
     S = 3 * b - 1
-    last = max(n - 3, 0) + 1 + (W - 1) * S + 4 * b + 8
+    last = max(n - 3, 0) + 1 + Wg * S + _ova(b)
     al = math.lcm(b, 8)
     return -(-last // al) * al
 
@@ -109,9 +140,10 @@ def t_diagonals(T, n: int, b: int):
 
 
 def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
-                  ys_ref, slab, frbuf, sem_in, sem_out, *, n, b, W, Wp,
-                  nsweeps, lvl=99):
-    """One grid step = one chase iteration (all W slots, descending).
+                  ys_ref, gbuf, frbuf, sem_in, sem_out, sem_seed, *,
+                  n, b, W, Wg, Wp, nsweeps, lvl=99):
+    """One grid step = one chase iteration (all Wg slots, descending m,
+    processed in NG = Wg/8 groups with double-buffered region DMA).
 
     Mosaic constraints shape the code: lane-dimension offsets are never
     used as dynamic slice starts (arbitrary offsets are expressed with
@@ -126,20 +158,24 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
     from jax.experimental.pallas import tpu as pltpu
 
     S = 3 * b - 1
+    G = _GROUP
+    NG = Wg // G
+    OVa = _ova(b)
+    GH = G * S + OVa
     dt = T_out.dtype
     it = jnp.asarray(it0_ref[0] + pl.program_id(0), jnp.int32)
     it_eff = jnp.minimum(it, jnp.int32(nsweeps - 1))
 
     # first grid step: seed the outputs from the inputs.  ALL subsequent
     # reads go through the OUTPUT refs — intra-call read-after-write
-    # (slot regions overlap by one window column, and the whole-slab
+    # (slot regions overlap by one window column, and the region
     # writeback rewrites unmodified neighbor cells) must see this call's
     # writes, which input refs only guarantee under buffer aliasing.
     @pl.when(pl.program_id(0) == 0)
     def _():
         v_out[...] = v_in[...]
         tau_out[...] = tau_in[...]
-        cp = pltpu.make_async_copy(T_in, T_out, sem_in)
+        cp = pltpu.make_async_copy(T_in, T_out, sem_seed)
         cp.start()
         cp.wait()
 
@@ -149,10 +185,12 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
     col8 = lax.broadcasted_iota(jnp.int32, (b, 8), 1)
     col4 = lax.broadcasted_iota(jnp.int32, (b, 4 * b), 1)
     row4 = lax.broadcasted_iota(jnp.int32, (b, 4 * b), 0)
-    rowR = lax.broadcasted_iota(jnp.int32, (b + 8, 3 * b), 0)
     laneW = lax.broadcasted_iota(jnp.int32, (b, Wp), 1)
     laneT = lax.broadcasted_iota(jnp.int32, (8, Wp), 1)
+    row3 = lax.broadcasted_iota(jnp.int32, (b, 3 * b), 0)
+    col3 = lax.broadcasted_iota(jnp.int32, (b, 3 * b), 1)
     zero_bb = jnp.zeros((b, 3 * b), dt)
+    zbb = jnp.zeros((b, b), dt)
 
     def pad8(x_col):
         """[b, 1] -> [b, 8] thin panel (col 0 = x, rest exact zeros).
@@ -184,6 +222,59 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
                                preferred_element_type=dt,
                                precision=_prec)
 
+    # ---- group-region DMA plumbing ----------------------------------
+    def j0_low(g):
+        """Lowest slot base row of group g (slot k = G-1)."""
+        return 1 + it_eff + (Wg - G - G * g) * S
+
+    def gbase(g):
+        return pl.multiple_of((j0_low(g) // 8) * 8, 8)
+
+    def in_dma(g, slot):
+        return pltpu.make_async_copy(
+            T_out.at[pl.ds(gbase(g), GH), :], gbuf.at[slot],
+            sem_in.at[slot])
+
+    def out_dma_skip(g, slot):
+        """Write-back skipping the OVa overlap rows (owned by g+1)."""
+        return pltpu.make_async_copy(
+            gbuf.at[slot, pl.ds(OVa, GH - OVa), :],
+            T_out.at[pl.ds(gbase(g) + OVa, GH - OVa), :],
+            sem_out.at[slot])
+
+    def out_dma_full(g, slot):
+        return pltpu.make_async_copy(
+            gbuf.at[slot], T_out.at[pl.ds(gbase(g), GH), :],
+            sem_out.at[slot])
+
+    # ---- frame load/store: 8-way predicated sublane copies ----------
+    def rows3(d0, dr, cur, sh=None):
+        """Buffer rows [d0 + dr, d0 + dr + b) as a [b, 3b] value (d0
+        static; dr in [0, 8) is the group DMA's 8-alignment slack).  An
+        8-way predicated static copy: dynamic sublane slice starts are
+        not provable for Mosaic, and its dynamic sublane ROTATE is
+        broken on hardware (reduces the shift mod 16 — measured).
+        ``sh`` is the slot's in-block column offset: rolling the frame
+        left by sh makes the window bases STATIC (see ext_s/put_s)."""
+        for kk in range(8):
+            @pl.when(dr == kk)
+            def _(kk=kk):
+                frbuf[...] = gbuf[cur, d0 + kk:d0 + kk + b, :]
+        fr = frbuf[...]
+        if sh is not None:
+            fr = pltpu.roll(fr, -sh, axis=1)   # negative shift: exact
+        return fr
+
+    def store3(d0, dr, cur, val, sh=None):
+        """Write a [b, 3b] (rolled-space if sh given) value back."""
+        if sh is not None:
+            val = pltpu.roll(val, sh - 3 * b, axis=1)  # == +sh, negative
+        for kk in range(8):
+            @pl.when(dr == kk)
+            def _(kk=kk):
+                gbuf[cur, d0 + kk:d0 + kk + b, :] = val
+
+    # ---- dynamic-base window algebra (sweep start only) --------------
     def offsets(jr, jc):
         jr = jnp.asarray(jr, jnp.int32)
         jc = jnp.asarray(jc, jnp.int32)
@@ -192,43 +283,22 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         ntop = (ktop + 1) * b - jr                 # rows still in ktop
         return base, ntop
 
-    def rows3(d0, dr):
-        """Slab rows [dr + d0, dr + d0 + b) as a [b, 3b] value (d0
-        static; dr in [0, 8) is the DMA's 8-alignment slack).  An 8-way
-        predicated static copy: dynamic sublane slice starts are not
-        provable for Mosaic, and its dynamic sublane ROTATE is broken
-        on hardware (reduces the shift mod 16 — measured)."""
-        for k in range(8):
-            @pl.when(dr == k)
-            def _(k=k):
-                frbuf[...] = slab[d0 + k:d0 + k + b, :]
-        return frbuf[...]
-
-    def store3(d0, dr, val):
-        """Write a [b, 3b] value to slab rows [dr + d0, ...)."""
-        for k in range(8):
-            @pl.when(dr == k)
-            def _(k=k):
-                slab[d0 + k:d0 + k + b, :] = val
-
-    def ext(d0, dr, jr, jc):
-        """Dense ``A[jr:jr+b, jc:jc+b)`` from slab rows
-        [dr + d0, dr + d0 + b) (d0 static).  Lower-triangle cells
-        exact; cells above the stored window are garbage, masked by
-        callers.  Returns ``(blk, fr)``; pass ``fr`` to the matching
-        ``put`` (nothing touches the rows in between) to skip its
-        reload."""
+    def ext(d0, dr, cur, jr, jc):
+        """Dense ``A[jr:jr+b, jc:jc+b)`` from buffer rows
+        [d0 + dr, ...).  Lower-triangle cells exact; cells above the
+        stored window are garbage, masked by callers.  Returns
+        ``(blk, fr)``; pass ``fr`` to the matching ``put``."""
         base, ntop = offsets(jr, jc)
-        fr = jnp.concatenate([rows3(d0, dr), jnp.zeros((b, b), dt)],
+        fr = jnp.concatenate([rows3(d0, dr, cur), jnp.zeros((b, b), dt)],
                              axis=1)                        # [b, 4b]
         # rot[cc] = fr[base + cc]: wraps land at cc >= 4b - base >= b
         hi = pltpu.roll(fr, -base, axis=1)[:, :b]
         lo = pltpu.roll(fr, b - base, axis=1)[:, :b]
         return jnp.where(rowi < ntop, hi, lo), fr
 
-    def put(d0, dr, blk, jr, jc, fr):
-        """Inverse of ext: blend ``blk`` into slab rows
-        [dr + d0, dr + d0 + b); ``fr`` is ext's frame for these rows."""
+    def put(d0, dr, cur, blk, jr, jc, fr):
+        """Inverse of ext: blend ``blk`` into buffer rows
+        [d0 + dr, ...); ``fr`` is ext's frame for these rows."""
         base, ntop = offsets(jr, jc)
         blk4 = jnp.concatenate([blk, zero_bb], axis=1)      # [b, 4b]
         emb_hi = pltpu.roll(blk4, base - 4 * b, axis=1)
@@ -236,43 +306,36 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         in_hi = (col4 >= base) & (col4 < base + b) & (row4 < ntop)
         in_lo = (col4 >= base - b) & (col4 < base) & (row4 >= ntop)
         fr = jnp.where(in_hi, emb_hi, jnp.where(in_lo, emb_lo, fr))
-        store3(d0, dr, fr[:, : 3 * b])
+        store3(d0, dr, cur, fr[:, : 3 * b])
 
-    # -- static-base window algebra on the WHOLE-ROLLED slab ----------
+    # -- static-base window algebra on per-slot ROLLED frames ----------
     # Within a slot, jc = j0 + t*b for t = 0,1,2, so jc mod b == j0
     # mod b =: sh is slot-constant and the staircase bases are
     # base_D = 2b + sh (D at [jc, jc)), base_B = b + sh (B at
-    # [jc+b, jc)), ntop = b - sh for BOTH.  Rolling the whole slab
-    # left by sh once per slot (sl'[r, c] = sl[r, c + sh]) makes both
-    # bases STATIC (2b and b): ext/put collapse to static slices and
-    # static-position blends — zero rolls in the substep bodies,
-    # replacing 24 [b, 4b] rolls per slot with 2 whole-slab rolls.
+    # [jc+b, jc)), ntop = b - sh for BOTH.  Rolling each frame left by
+    # sh at load (and back at store) makes both bases STATIC (2b and
+    # b): ext/put collapse to static slices and static-position blends.
     # Wrap-around cells (rolled cols [3b-sh, 3b) = original bulge-
     # workspace cols [0, sh)) sit at band depth > 2b: dead cells.  D's
     # windows mask them (upper triangle); B windows only ever contain
     # depth <= 2b cells, so writing garbage there is never observed
     # (t_diagonals reads depths 0/1 only).
-    row3 = lax.broadcasted_iota(jnp.int32, (b, 3 * b), 0)
-    col3 = lax.broadcasted_iota(jnp.int32, (b, 3 * b), 1)
-    zbb = jnp.zeros((b, b), dt)
-
     def ext_s(fr, baseS, ntop):
         """Window from a rolled [b, 3b] frame; baseS is a python int."""
         hi = fr[:, baseS:baseS + b]
         lo = fr[:, baseS - b:baseS]
         return jnp.where(rowi < ntop, hi, lo)
 
-    def put_s(fr, blk, baseS, ntop):
+    def put_s(fr, blk, baseS, in_hi, in_lo):
         """Blend blk back at static base; returns the new frame
-        (caller stores it — frames chain across substeps)."""
+        (caller stores it — frames chain across substeps).  The masks
+        are hoisted per slot (they depend only on ntop)."""
         if baseS == 2 * b:
             emb_hi = jnp.concatenate([zbb, zbb, blk], axis=1)
             emb_lo = jnp.concatenate([zbb, blk, zbb], axis=1)
         else:
             emb_hi = jnp.concatenate([zbb, blk, zbb], axis=1)
             emb_lo = jnp.concatenate([blk, zbb, zbb], axis=1)
-        in_hi = (col3 >= baseS) & (col3 < baseS + b) & (row3 < ntop)
-        in_lo = (col3 >= baseS - b) & (col3 < baseS) & (row3 >= ntop)
         return jnp.where(in_hi, emb_hi, jnp.where(in_lo, emb_lo, fr))
 
     def larfg(x):
@@ -308,56 +371,52 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         v_out[...] = jnp.where(hot, v, v_out[...])
         tau_out[...] = jnp.where(laneT == vi, tau, tau_out[...])
 
-    def slot(mi, _):
-        m = jnp.asarray(W - 1 - mi, jnp.int32)
-        s = jnp.asarray(it, jnp.int32) - m
-        j0 = 1 + jnp.asarray(it_eff, jnp.int32) + m * S
-        # DMA row starts must be 8-aligned; dr is the in-slab slack
-        j0a = pl.multiple_of((j0 // 8) * 8, 8)
-        dr = j0 - j0a
-        cp_in = pltpu.make_async_copy(
-            T_out.at[pl.ds(j0a, 4 * b + 8), :], slab, sem_in)
-        cp_in.start()
-        cp_in.wait()
+    Wc = jnp.asarray(W, jnp.int32)
 
-        Wc = jnp.asarray(W, jnp.int32)
-        vi = lax.rem(lax.rem(s, Wc) + Wc, Wc)          # python-mod
+    def slot_compute(k, cur, jl, drg, g):
+        """Slot k (static, 0..G-1) of group g: m = Wg-1-(g*G+k)."""
+        pos0 = (G - 1 - k) * S                       # static buffer base
+        m = jnp.asarray(Wg - 1 - G * g - k, jnp.int32)
+        s = jnp.asarray(it, jnp.int32) - m
+        j0 = jl + pos0
+        vi = lax.rem(lax.rem(s, Wc) + Wc, Wc)        # python-mod
 
         if lvl < 2:
-            cp_out0 = pltpu.make_async_copy(
-                slab, T_out.at[pl.ds(j0a, 4 * b + 8), :], sem_out)
-            cp_out0.start()
-            cp_out0.wait()
-            return 0
-        # ---- sweep start (slot 0 only): reflector from column it ----
-        @pl.when((m == 0) & (it < nsweeps) & (lvl >= 3))
-        def _():
-            blk, fr0 = ext(0, dr, j0, it)              # rows it+1.., col it
-            x = jnp.sum(jnp.where(coli == 0, blk, jnp.zeros((), dt)),
-                        axis=1, keepdims=True)
-            v_s, tau_s, beta_s = larfg(x)
-            newcol = jnp.where(rowv == 0, beta_s, jnp.zeros((), dt))
-            blk = jnp.where(coli == 0, newcol, blk)
-            put(0, dr, blk, j0, it, fr0)
-            svi = lax.rem(lax.rem(it, Wc) + Wc, Wc)
-            store_v(svi, v_s, tau_s)
+            return
+        # ---- sweep start (slot m == 0 <=> k = G-1 of the last group):
+        # reflector from column it ----
+        if k == G - 1:
+            @pl.when((m == 0) & (it < nsweeps) & (lvl >= 3))
+            def _():
+                blk, fr0 = ext(pos0, drg, cur, j0, it)  # rows it+1..
+                x = jnp.sum(jnp.where(coli == 0, blk, jnp.zeros((), dt)),
+                            axis=1, keepdims=True)
+                v_s, tau_s, beta_s = larfg(x)
+                newcol = jnp.where(rowv == 0, beta_s, jnp.zeros((), dt))
+                blk = jnp.where(coli == 0, newcol, blk)
+                put(pos0, drg, cur, blk, j0, it, fr0)
+                svi = lax.rem(lax.rem(it, Wc) + Wc, Wc)
+                store_v(svi, v_s, tau_s)
 
-        v, tau = load_v(vi)                            # post sweep-start
+        v, tau = load_v(vi)                          # post sweep-start
 
         cnt = jnp.where(s >= 0, (n - 3 - jnp.maximum(s, 0)) // b + 1,
                         jnp.zeros((), s.dtype))
 
-        # whole-slab roll: slot-static window bases (see ext_s/put_s)
-        sh = j0 - (j0 // b) * b
+        sh = j0 - (j0 // b) * b                      # slot column offset
         ntop = b - sh
-        if lvl >= 5:
-            slab[...] = pltpu.roll(slab[...], -sh, axis=1)
+        # hoisted put_s masks (ntop-dependent only; shared by substeps)
+        hi_row = row3 < ntop
+        in_hi_D = (col3 >= 2 * b) & hi_row
+        in_lo_D = (col3 >= b) & (col3 < 2 * b) & ~hi_row
+        in_hi_B = (col3 >= b) & (col3 < 2 * b) & hi_row
+        in_lo_B = (col3 < b) & ~hi_row
 
         def substep(t, v, tau, frd):
-            """frd: rolled frame for rows [t*b + dr, ...) chained from
-            the previous substep's B put (same slab rows), or None."""
-            jc = j0 + t * b
-            d0 = t * b
+            """frd: rolled frame for buffer rows [pos0 + t*b + drg, ...)
+            chained from the previous substep's B put (same rows), or
+            None."""
+            d0 = pos0 + t * b
             act = (s >= 0) & (3 * m + t < cnt)
             if lvl < 4:
                 return v, tau, None
@@ -374,28 +433,31 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             # D block (rows [jc, jc+b)); symmetrize from the lower part
             v8 = pad8(v)
             if frd is None:
-                frd = rows3(d0, dr)
+                frd = rows3(d0, drg, cur, sh)
             Dl = ext_s(frd, 2 * b, ntop)
             Dl = jnp.where(rowi >= coli, Dl, jnp.zeros((), dt))
             if lvl < 6:          # 5: ext/put identity round-trip
-                store3(d0, dr, put_s(frd, Dl, 2 * b, ntop))
+                store3(d0, drg, cur,
+                       put_s(frd, Dl, 2 * b, in_hi_D, in_lo_D), sh)
                 return v, tau, None
             Dstrict = jnp.where(rowi > coli, Dl, jnp.zeros((), dt))
             D = Dl + Dstrict.T
             if lvl < 7:          # 6: + transpose
-                store3(d0, dr, put_s(frd, D, 2 * b, ntop))
+                store3(d0, drg, cur,
+                       put_s(frd, D, 2 * b, in_hi_D, in_lo_D), sh)
                 return v, tau, None
             w1 = tau * matvec(D, v8)
             corr = jnp.sum(w1 * v8) * tau * 0.5
             w8 = w1 - corr * v8
             Dn = D - outer(w8, v8) - outer(v8, w8)
             Dn = jnp.where(act, Dn, D)
-            store3(d0, dr, put_s(frd, Dn, 2 * b, ntop))
+            store3(d0, drg, cur,
+                   put_s(frd, Dn, 2 * b, in_hi_D, in_lo_D), sh)
 
             if lvl < 8:          # 7: full D update
                 return v, tau, None
             # B block (rows [jc+b, jc+2b))
-            frb = rows3(d0 + b, dr)
+            frb = rows3(d0 + b, drg, cur, sh)
             B = ext_s(frb, b, ntop)
             y8 = matvec(B, v8)
             Bn = B - tau * outer(y8, v8)
@@ -412,8 +474,8 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             Bn = jnp.where(act, Bn, B)
             # B's rows ARE the next substep's D rows: store the blended
             # frame and hand it forward, skipping that substep's rows3
-            frb = put_s(frb, Bn, b, ntop)
-            store3(d0 + b, dr, frb)
+            frb = put_s(frb, Bn, b, in_hi_B, in_lo_B)
+            store3(d0 + b, drg, cur, frb, sh)
 
             v = jnp.where(act, v2, v)
             tau = jnp.where(act, tau2, tau)
@@ -424,16 +486,53 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             v, tau, frc = substep(t, v, tau, frc)
         store_v(vi, v, tau)
 
-        if lvl >= 5:
-            slab[...] = pltpu.roll(slab[...], sh - 3 * b, axis=1)
+    # warm-up: prefetch group 0 (reads the freshly seeded T_out on the
+    # first grid step — the seed copy above completed before this start)
+    in_dma(0, 0).start()
 
-        cp_out = pltpu.make_async_copy(
-            slab, T_out.at[pl.ds(j0a, 4 * b + 8), :], sem_out)
-        cp_out.start()
-        cp_out.wait()
+    def group(g, _):
+        cur = lax.rem(g, 2)
+        nxt = 1 - cur
+
+        @pl.when(g == 0)
+        def _():
+            in_dma(0, 0).wait()
+
+        @pl.when(g + 1 < NG)
+        def _():
+            # buffer nxt must be free: its previous occupant's write-back
+            # (group g-1, always the skip variant: g-1 <= NG-3 < NG-1)
+            @pl.when(g >= 1)
+            def _():
+                out_dma_skip(g - 1, nxt).wait()
+            in_dma(g + 1, nxt).start()
+
+        jl = j0_low(g)
+        drg = jl - gbase(g)                  # in [0, 8), uniform in group
+        for k in range(G):
+            slot_compute(k, cur, jl, drg, g)
+
+        @pl.when(g + 1 < NG)
+        def _():
+            in_dma(g + 1, nxt).wait()
+            # patch the overlap: rows [0, OVa) of this group's region
+            # carry this group's writes; the prefetched HBM copy of the
+            # same global rows (buffer-local [G*S, GH)) is stale
+            gbuf[nxt, G * S:GH, :] = gbuf[cur, 0:OVa, :]
+
+        @pl.when(g + 1 < NG)
+        def _():
+            out_dma_skip(g, cur).start()
+        @pl.when(g + 1 == NG)
+        def _():
+            out_dma_full(g, cur).start()
         return 0
 
-    lax.fori_loop(0, W, slot, 0)
+    lax.fori_loop(0, NG, group, 0)
+    # drain before the next grid step re-reads these rows
+    out_dma_full(NG - 1, (NG - 1) % 2).wait()
+    if NG >= 2:
+        out_dma_skip(NG - 2, (NG - 2) % 2).wait()
 
 
 def _chase_call(T, vbuf, taubuf, it0, n: int, b: int, niter: int,
@@ -443,13 +542,15 @@ def _chase_call(T, vbuf, taubuf, it0, n: int, b: int, niter: int,
     from jax.experimental.pallas import tpu as pltpu
 
     W = _wavefront_width(n, b)
+    Wg = _group_width(n, b)
     Wp = vbuf.shape[1]
     dt = T.dtype
     nsweeps = max(n - 2, 0)
+    GH = _GROUP * (3 * b - 1) + _ova(b)
     import os
     lvl = int(os.environ.get("DLAF_PALLAS_LVL", "99"))
-    kern = partial(_chase_kernel, n=n, b=b, W=W, Wp=Wp, nsweeps=nsweeps,
-                   lvl=lvl)
+    kern = partial(_chase_kernel, n=n, b=b, W=W, Wg=Wg, Wp=Wp,
+                   nsweeps=nsweeps, lvl=lvl)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(niter,),
@@ -465,10 +566,11 @@ def _chase_call(T, vbuf, taubuf, it0, n: int, b: int, niter: int,
             pl.BlockSpec((1, 3, b, Wp), lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4 * b + 8, 3 * b), dt),
-            pltpu.VMEM((b, 3 * b), dt),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, GH, 3 * b), dt),                # group buffers
+            pltpu.VMEM((b, 3 * b), dt),                    # frame buffer
+            pltpu.SemaphoreType.DMA((2,)),                 # in sems
+            pltpu.SemaphoreType.DMA((2,)),                 # out sems
+            pltpu.SemaphoreType.DMA(()),                   # seed sem
         ],
     )
     fn = pl.pallas_call(
