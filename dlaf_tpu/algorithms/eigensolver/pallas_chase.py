@@ -44,6 +44,24 @@ This removes the two serial per-slot DMA round trips of the r4 kernel
 (one in + one out per slot, each with full latency on the critical
 path) in favor of 2 overlapped DMAs per 8 slots.
 
+STATUS (r5, measured on the v5e): correct on hardware (per-iteration
+agreement with interpret at f32 rounding after the non-negative-roll
+fix below), but SLOWER than both the r4 per-slot kernel (1.2 ms/iter
+at n=8192, Wg=24) and the XLA wavefront scan: the slab staging's
+predicated copies + selects on [4b+8, 3b] operands cost ~0.5 ms/slot
+on this Mosaic build.  Measured per-op landmines (micro-benchmarks,
+r5): a DYNAMIC-shift ``pltpu.roll`` costs 20-35 us per window-sized
+operand (~80x a copy) regardless of direction; dynamic lane rolls are
+only CORRECT for non-negative shifts (static negatives are rejected,
+dynamic negatives silently wrong); DMA lane offsets must be
+128-aligned (dynamic lane-sliced DMA is rejected); one-hot shift
+matmuls at HIGHEST precision are exact but ~670 us.  The identified
+r6 lever is BATCHED slots (the substep algebra on [G*b, *] operands,
+one issue per op for 8 slots) — per-op issue cost, not data volume,
+dominates at [b, 3b] granularity.  Until then the XLA wavefront
+remains the production on-device chase; this kernel stays opt-in
+(``DLAF_B2T_ALGO=pallas``).
+
 Drop-in segment replacement: the kernel call has the same
 ``(flat-ish, v, tau, it0) -> (state, v, tau, ys)`` contract as
 ``_wavefront_scan_seg`` with ys in identical emission order, so the
@@ -140,8 +158,8 @@ def t_diagonals(T, n: int, b: int):
 
 
 def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
-                  ys_ref, gbuf, frbuf, sem_in, sem_out, sem_seed, *,
-                  n, b, W, Wg, Wp, nsweeps, lvl=99):
+                  ys_ref, gbuf, slab, slab2, sem_in, sem_out, sem_seed,
+                  *, n, b, W, Wg, Wp, nsweeps, lvl=99):
     """One grid step = one chase iteration (all Wg slots, descending m,
     processed in NG = Wg/8 groups with double-buffered region DMA).
 
@@ -248,31 +266,53 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             sem_out.at[slot])
 
     # ---- frame load/store: 8-way predicated sublane copies ----------
-    def rows3(d0, dr, cur, sh=None):
+    # (sweep-start only; the substeps work on the per-slot rolled slab)
+    def rows3(d0, dr, cur):
         """Buffer rows [d0 + dr, d0 + dr + b) as a [b, 3b] value (d0
         static; dr in [0, 8) is the group DMA's 8-alignment slack).  An
         8-way predicated static copy: dynamic sublane slice starts are
         not provable for Mosaic, and its dynamic sublane ROTATE is
-        broken on hardware (reduces the shift mod 16 — measured).
-        ``sh`` is the slot's in-block column offset: rolling the frame
-        left by sh makes the window bases STATIC (see ext_s/put_s)."""
+        broken on hardware (reduces the shift mod 16 — measured)."""
         for kk in range(8):
             @pl.when(dr == kk)
             def _(kk=kk):
-                frbuf[...] = gbuf[cur, d0 + kk:d0 + kk + b, :]
-        fr = frbuf[...]
-        if sh is not None:
-            fr = pltpu.roll(fr, -sh, axis=1)   # negative shift: exact
-        return fr
+                slab[0:b, :] = gbuf[cur, d0 + kk:d0 + kk + b, :]
+        return slab[0:b, :]
 
-    def store3(d0, dr, cur, val, sh=None):
-        """Write a [b, 3b] (rolled-space if sh given) value back."""
-        if sh is not None:
-            val = pltpu.roll(val, sh - 3 * b, axis=1)  # == +sh, negative
+    def store3(d0, dr, cur, val):
+        """Write a [b, 3b] value back to buffer rows [d0 + dr, ...)."""
         for kk in range(8):
             @pl.when(dr == kk)
             def _(kk=kk):
                 gbuf[cur, d0 + kk:d0 + kk + b, :] = val
+
+    # ---- dynamic lane shift, cheap form -----------------------------
+    # pltpu.roll with a DYNAMIC shift costs ~20-35 us per [b, 3b]-scale
+    # operand on this chip (micro-measured r5; its dynamic lowering is
+    # ~80x slower than a copy), while STATIC rolls are ~free and scalar
+    # pl.when branches are cheap.  Decompose the dynamic shift into
+    # where-selected static rolls for the high bits + ONE 8-way
+    # predicated static roll for the low 3 bits: ~5 executed buffer
+    # passes total.  Dynamic shifts must also be NON-NEGATIVE: static
+    # negatives are rejected and dynamic negatives are silently WRONG
+    # on hardware (micro-measured r5).
+    _shbits = max((b - 1).bit_length(), 3)
+
+    def tl_shift(src_ref, dst_ref, sh, left: bool):
+        """dst <- lane-roll of src by dynamic ``sh`` in [0, b);
+        ``left=True`` rolls left (out[c] = in[c + sh])."""
+        L = 3 * b
+        x = src_ref[...]
+        for bit in range(3, _shbits):
+            amt = 1 << bit
+            a = (L - amt) if left else amt
+            x = jnp.where((sh & amt) != 0, pltpu.roll(x, a, axis=1), x)
+        r = sh & 7
+        for j in range(8):
+            @pl.when(r == j)
+            def _(j=j):
+                a = ((L - j) % L) if left else j
+                dst_ref[...] = pltpu.roll(x, a, axis=1) if a else x
 
     # ---- dynamic-base window algebra (sweep start only) --------------
     def offsets(jr, jc):
@@ -291,9 +331,11 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         base, ntop = offsets(jr, jc)
         fr = jnp.concatenate([rows3(d0, dr, cur), jnp.zeros((b, b), dt)],
                              axis=1)                        # [b, 4b]
-        # rot[cc] = fr[base + cc]: wraps land at cc >= 4b - base >= b
-        hi = pltpu.roll(fr, -base, axis=1)[:, :b]
-        lo = pltpu.roll(fr, b - base, axis=1)[:, :b]
+        # rot[cc] = fr[base + cc]: wraps land at cc >= 4b - base >= b.
+        # base in [2b-1, 3b-1): both shifts stay in (b, 3b+1] subset
+        # [0, 4b) — non-negative dynamic rolls only (see rows3)
+        hi = pltpu.roll(fr, 4 * b - base, axis=1)[:, :b]
+        lo = pltpu.roll(fr, 5 * b - base, axis=1)[:, :b]
         return jnp.where(rowi < ntop, hi, lo), fr
 
     def put(d0, dr, cur, blk, jr, jc, fr):
@@ -301,8 +343,8 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         [d0 + dr, ...); ``fr`` is ext's frame for these rows."""
         base, ntop = offsets(jr, jc)
         blk4 = jnp.concatenate([blk, zero_bb], axis=1)      # [b, 4b]
-        emb_hi = pltpu.roll(blk4, base - 4 * b, axis=1)
-        emb_lo = pltpu.roll(blk4, base - b - 4 * b, axis=1)
+        emb_hi = pltpu.roll(blk4, base, axis=1)             # == base-4b
+        emb_lo = pltpu.roll(blk4, base - b, axis=1)         # >= b-1 >= 0
         in_hi = (col4 >= base) & (col4 < base + b) & (row4 < ntop)
         in_lo = (col4 >= base - b) & (col4 < base) & (row4 >= ntop)
         fr = jnp.where(in_hi, emb_hi, jnp.where(in_lo, emb_lo, fr))
@@ -405,6 +447,26 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
 
         sh = j0 - (j0 // b) * b                      # slot column offset
         ntop = b - sh
+        if lvl < 5:
+            if lvl >= 4:
+                for t in range(3):
+                    act = (s >= 0) & (3 * m + t < cnt)
+                    v_emit = jnp.where(rowv == 0, tau, v)
+                    old = ys_ref[0, t, :, :]
+                    ys_ref[0, t, :, :] = jnp.where(laneW == m, v_emit,
+                                                   old)
+            store_v(vi, v, tau)
+            return
+
+        # ---- slab staging: one dr-predicated copy + one cheap dynamic
+        # lane shift each way; everything inside the substeps is then a
+        # STATIC aligned slice of the rolled slab ----
+        for kk in range(8):
+            @pl.when(drg == kk)
+            def _(kk=kk):
+                slab[...] = gbuf[cur, pos0 + kk:pos0 + kk + 4 * b + 8, :]
+        tl_shift(slab, slab2, sh, left=True)
+
         # hoisted put_s masks (ntop-dependent only; shared by substeps)
         hi_row = row3 < ntop
         in_hi_D = (col3 >= 2 * b) & hi_row
@@ -412,14 +474,9 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         in_hi_B = (col3 >= b) & (col3 < 2 * b) & hi_row
         in_lo_B = (col3 < b) & ~hi_row
 
-        def substep(t, v, tau, frd):
-            """frd: rolled frame for buffer rows [pos0 + t*b + drg, ...)
-            chained from the previous substep's B put (same rows), or
-            None."""
-            d0 = pos0 + t * b
+        def substep(t, v, tau):
+            d0 = t * b
             act = (s >= 0) & (3 * m + t < cnt)
-            if lvl < 4:
-                return v, tau, None
             # emit the pre-step reflector (lane-masked blend; garbage
             # lanes of inactive steps are never referenced by the raw
             # index map).  ys block layout is [.., b, W]: sweeps on
@@ -428,36 +485,32 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             old = ys_ref[0, t, :, :]
             ys_ref[0, t, :, :] = jnp.where(laneW == m, v_emit, old)
 
-            if lvl < 5:          # 4: emission only
-                return v, tau, None
             # D block (rows [jc, jc+b)); symmetrize from the lower part
             v8 = pad8(v)
-            if frd is None:
-                frd = rows3(d0, drg, cur, sh)
+            frd = slab2[d0:d0 + b, :]
             Dl = ext_s(frd, 2 * b, ntop)
             Dl = jnp.where(rowi >= coli, Dl, jnp.zeros((), dt))
             if lvl < 6:          # 5: ext/put identity round-trip
-                store3(d0, drg, cur,
-                       put_s(frd, Dl, 2 * b, in_hi_D, in_lo_D), sh)
-                return v, tau, None
+                slab2[d0:d0 + b, :] = put_s(frd, Dl, 2 * b, in_hi_D,
+                                            in_lo_D)
+                return v, tau
             Dstrict = jnp.where(rowi > coli, Dl, jnp.zeros((), dt))
             D = Dl + Dstrict.T
             if lvl < 7:          # 6: + transpose
-                store3(d0, drg, cur,
-                       put_s(frd, D, 2 * b, in_hi_D, in_lo_D), sh)
-                return v, tau, None
+                slab2[d0:d0 + b, :] = put_s(frd, D, 2 * b, in_hi_D,
+                                            in_lo_D)
+                return v, tau
             w1 = tau * matvec(D, v8)
             corr = jnp.sum(w1 * v8) * tau * 0.5
             w8 = w1 - corr * v8
             Dn = D - outer(w8, v8) - outer(v8, w8)
             Dn = jnp.where(act, Dn, D)
-            store3(d0, drg, cur,
-                   put_s(frd, Dn, 2 * b, in_hi_D, in_lo_D), sh)
+            slab2[d0:d0 + b, :] = put_s(frd, Dn, 2 * b, in_hi_D, in_lo_D)
 
             if lvl < 8:          # 7: full D update
-                return v, tau, None
+                return v, tau
             # B block (rows [jc+b, jc+2b))
-            frb = rows3(d0 + b, drg, cur, sh)
+            frb = slab2[d0 + b:d0 + 2 * b, :]
             B = ext_s(frb, b, ntop)
             y8 = matvec(B, v8)
             Bn = B - tau * outer(y8, v8)
@@ -472,19 +525,24 @@ def _chase_kernel(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             newc0 = jnp.where(rowv == 0, beta2, jnp.zeros((), dt))
             Bn = jnp.where(coli == 0, newc0, Bn)
             Bn = jnp.where(act, Bn, B)
-            # B's rows ARE the next substep's D rows: store the blended
-            # frame and hand it forward, skipping that substep's rows3
-            frb = put_s(frb, Bn, b, in_hi_B, in_lo_B)
-            store3(d0 + b, drg, cur, frb, sh)
+            slab2[d0 + b:d0 + 2 * b, :] = put_s(frb, Bn, b, in_hi_B,
+                                                in_lo_B)
 
             v = jnp.where(act, v2, v)
             tau = jnp.where(act, tau2, tau)
-            return v, tau, frb
+            return v, tau
 
-        frc = None
         for t in range(3):
-            v, tau, frc = substep(t, v, tau, frc)
+            v, tau = substep(t, v, tau)
         store_v(vi, v, tau)
+
+        # un-roll and write the slab back (rows [4b, 4b+8) round-trip
+        # unchanged; the next slot's overlapping read sees this write)
+        tl_shift(slab2, slab, sh, left=False)
+        for kk in range(8):
+            @pl.when(drg == kk)
+            def _(kk=kk):
+                gbuf[cur, pos0 + kk:pos0 + kk + 4 * b + 8, :] = slab[...]
 
     # warm-up: prefetch group 0 (reads the freshly seeded T_out on the
     # first grid step — the seed copy above completed before this start)
@@ -567,7 +625,8 @@ def _chase_call(T, vbuf, taubuf, it0, n: int, b: int, niter: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, GH, 3 * b), dt),                # group buffers
-            pltpu.VMEM((b, 3 * b), dt),                    # frame buffer
+            pltpu.VMEM((4 * b + 8, 3 * b), dt),            # slot slab
+            pltpu.VMEM((4 * b + 8, 3 * b), dt),            # rolled slab
             pltpu.SemaphoreType.DMA((2,)),                 # in sems
             pltpu.SemaphoreType.DMA((2,)),                 # out sems
             pltpu.SemaphoreType.DMA(()),                   # seed sem
