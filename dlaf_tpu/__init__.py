@@ -54,6 +54,10 @@ from .algorithms.eigensolver.eigensolver import (
     hermitian_eigensolver, hermitian_eigensolver_host,
     hermitian_generalized_eigensolver,
     hermitian_generalized_eigensolver_host)
+from .algorithms.refine import (cholesky_refine,
+                                hermitian_eigensolver_refined,
+                                refine_eigenvalues,
+                                refine_generalized_eigenvalues)
 
 __version__ = "0.1.0"
 
@@ -83,4 +87,8 @@ __all__ = [
     "hermitian_eigensolver_host",
     "hermitian_generalized_eigensolver",
     "hermitian_generalized_eigensolver_host",
+    "cholesky_refine",
+    "hermitian_eigensolver_refined",
+    "refine_eigenvalues",
+    "refine_generalized_eigenvalues",
 ]
