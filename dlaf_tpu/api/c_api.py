@@ -198,7 +198,30 @@ def _writeback(dst: np.ndarray, mat, desc: DLAF_descriptor):
 
 def _cholesky(ctx, uplo, a, desc):
     from .. import cholesky_factorization
+    from ..tune import get_tune_parameters
     grid = _grid_from_context(ctx)
+    iters = get_tune_parameters().fp64_refine_iters
+    if (iters > 0 and np.asarray(a).dtype == np.float64
+            and (grid is None or grid.mesh.size == 1)):
+        # d-type accuracy on an f32 chip: f32 factor + dd-residual
+        # Newton steps (algorithms/refine.py; reference computes d
+        # natively — include/dlaf/types.h:31-61)
+        from ..algorithms.refine import cholesky_refine
+        av = np.asarray(a)
+        if av.shape != (desc.m, desc.n):
+            av = av.reshape(desc.m, desc.n, order="F")
+        oi, oj = desc.i - 1, desc.j - 1
+        m = desc.subm if desc.subm is not None else desc.m
+        sub = av[oi:oi + m, oj:oj + m]
+        L = cholesky_refine(sub, (desc.mb, desc.nb), uplo.upper(),
+                            iters=iters)
+        src = np.asarray(a)
+        if src.shape == (desc.m, desc.n):
+            src[oi:oi + m, oj:oj + m] = L
+        else:
+            src.reshape((desc.m, desc.n),
+                        order="F")[oi:oi + m, oj:oj + m] = L
+        return 0
     mat = _wrap(a, desc, grid)
     out = cholesky_factorization(mat, uplo.upper())
     _writeback(a, out, desc)

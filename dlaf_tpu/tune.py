@@ -112,6 +112,13 @@ class TuneParameters:
     #: Analogue of the reference's band-size knobs (``tune.h:114-163``)
     #: adapted to the MXU's contraction-depth cliff.
     eigensolver_sbr_band: int = _env("DLAF_SBR_BAND", 0, int)
+
+    #: fp64 iterative refinement for the d-typed C-API entries on a chip
+    #: without native f64 (algorithms/refine.py): number of dd-residual
+    #: Newton steps applied after the f32 factorization.  0 = off (the
+    #: reference computes d natively; here d buffers otherwise get
+    #: f32-accurate results).  Single-process, real dtypes only.
+    fp64_refine_iters: int = _env("DLAF_FP64_REFINE", 0, int)
     #: minimum band size for the two-stage eigensolver
     #: (reference ``tune.h: eigensolver_min_band``, default 100).
     eigensolver_min_band: int = _env("DLAF_EIGENSOLVER_MIN_BAND", 100, int)

@@ -274,3 +274,24 @@ def test_descriptor_isrc_multirank():
     finally:
         set_tune_parameters(cholesky_distributed_algo=old)
     C.dlaf_free_grid(ctx)
+
+
+def test_cholesky_d_fp64_refine_knob():
+    """DLAF_FP64_REFINE routes the d entry through the dd-residual
+    refinement (f32 factor + Newton step) on single-device grids."""
+    from dlaf_tpu.tune import set_tune_parameters
+    n, nb = 48, 16
+    ctx = c_api.dlaf_create_grid(1, 1)
+    a = mu.random_hermitian_positive_definite(n, np.float64, 5)
+    buf = a.copy()
+    desc = c_api.DLAF_descriptor(n, n, nb, nb)
+    set_tune_parameters(fp64_refine_iters=1)
+    try:
+        rc = c_api.dlaf_cholesky_d(ctx, "L", buf, desc)
+    finally:
+        set_tune_parameters(fp64_refine_iters=0)
+    assert rc == 0
+    f = np.tril(buf)
+    r = np.linalg.norm(f @ f.T - a) / np.linalg.norm(a)
+    assert r < 1e-12
+    c_api.dlaf_free_grid(ctx)
