@@ -112,10 +112,14 @@ def main():
 
         def run_heev(nh, nbh):
             ah = mu.random_hermitian_device(nh, dtype, seed=1)
-            mh = DistMatrix.from_natural(ah, nbh)
+            # holder passes OWNERSHIP: when the reduction's donation
+            # cannot alias (padded output), a local `mh` reference would
+            # keep the n^2 input alive through every later stage
+            holder = [DistMatrix.from_natural(ah, nbh)]
             del ah
             t0 = _time.perf_counter()
-            lam, v = hermitian_eigensolver(mh, "L", band_size=128,
+            lam, v = hermitian_eigensolver(holder.pop(), "L",
+                                           band_size=128,
                                            donate_input=True)
             np.asarray(v.data).ravel()[0].item()
             return _time.perf_counter() - t0

@@ -42,21 +42,27 @@ def main():
     probe_rows = np.asarray(mat.to_natural()[:64]) \
         if not os.environ.get("HEEV32K_SKIP_PROBE") else None
 
-    t0 = time.time()
-    lam, v = hermitian_eigensolver(mat, "L", band_size=band,
-                                   donate_input=True)
+    # pass OWNERSHIP: the driver drops its reference after the reduction
+    # (donate_input), but that only frees the buffer if this frame does
+    # not also hold one — `hermitian_eigensolver(mat, ...)` would keep
+    # the 4.3 GB input alive through every later stage (found the hard
+    # way: SBR stage-2 OOMed at 32k with the window open)
+    holder = [mat]
     del mat
+    t0 = time.time()
+    lam, v = hermitian_eigensolver(holder.pop(), "L", band_size=band,
+                                   donate_input=True)
     lam = np.asarray(lam)
     t1 = time.time()
     print(f"HEEV n={n} wall {t1 - t0:.1f}s (cold, incl. compile)",
           flush=True)
     if os.environ.get("HEEV32K_WARM_REPEAT"):
         del v
-        mat = mu.random_hermitian_dist(n, nb, dtype=np.float32, seed=12)
+        holder = [mu.random_hermitian_dist(n, nb, dtype=np.float32,
+                                           seed=12)]
         t2 = time.time()
-        lam, v = hermitian_eigensolver(mat, "L", band_size=band,
+        lam, v = hermitian_eigensolver(holder.pop(), "L", band_size=band,
                                        donate_input=True)
-        del mat
         lam = np.asarray(lam)
         t3 = time.time()
         print(f"HEEV n={n} wall {t3 - t2:.1f}s (WARM, in-process)",

@@ -37,10 +37,16 @@ def run(n, b1, band=128):
     for it in range(2):
         mat = mu.random_hermitian_dist(n, 2048, dtype=np.float32, seed=3)
         sync(mat.data)
+        # ownership passes into the reduction: when donation cannot
+        # alias (padded output shapes), holding `mat` here would keep
+        # the 4.3 GB input alive through stage 2 at n = 32768
+        holder = [mat]
+        del mat
         tag = "warm" if it else "cold"
         if not b1:
             t0 = time.perf_counter()
-            mat_hh, taus = reduction_to_band(mat, band, donate=True)
+            mat_hh, taus = reduction_to_band(holder.pop(), band,
+                                             donate=True)
             sync(mat_hh.data)
             t1 = time.perf_counter()
             ab = extract_band(mat_hh, band)
@@ -48,10 +54,11 @@ def run(n, b1, band=128):
             t2 = time.perf_counter()
             print(f"[{tag}] one-stage n={n} b={band}: red2band "
                   f"{t1-t0:.2f}s  extract {t2-t1:.2f}s", flush=True)
-            del mat_hh, taus, ab, mat
+            del mat_hh, taus, ab
         else:
             t0 = time.perf_counter()
-            mat_hh, taus = reduction_to_band(mat, b1, donate=True)
+            mat_hh, taus = reduction_to_band(holder.pop(), b1,
+                                             donate=True)
             sync(mat_hh.data)
             t1 = time.perf_counter()
             dense = band_dense_from_reduction(mat_hh, b1)
@@ -74,7 +81,7 @@ def run(n, b1, band=128):
                   f"stage2 {t3-t2:.2f}s ({gf2:.0f} GF/s model, {nseg} "
                   f"segs)  extract {t4-t3:.2f}s  TOTAL {t4-t0:.2f}s",
                   flush=True)
-            del dense, res, ab, taus, mat
+            del dense, res, ab, taus
 
 
 if __name__ == "__main__":
