@@ -270,11 +270,19 @@ def band_to_band(Adense, n: int, h: int, g: int):
     """Stage-2 reduction: dense Hermitian ``Adense [n, n]`` (both
     triangles stored, lower bandwidth <= h) -> bandwidth ``g``.
 
+    ``Adense`` may also arrive PREPADDED at ``[n + 2h + g, n + 2h + g]``
+    (from ``band_dense_from_reduction(..., pad=2*h+g)``), skipping the
+    separate pad jit whose donation cannot alias.
+
     Returns ``(Ared [n, n] dense, SBRResult)``; donates ``Adense``.
     """
     dt = Adense.dtype
     starts, tmax = sbr_schedule(n, h, g)
-    Ap = _sbr_pad(jnp.asarray(Adense), pad=2 * h + g)
+    Adense = jnp.asarray(Adense)
+    if Adense.shape[0] == n + 2 * h + g:
+        Ap = Adense
+    else:
+        Ap = _sbr_pad(Adense, pad=2 * h + g)
     if len(starts) == 0:
         return _sbr_unpad(Ap, n=n), SBRResult([], n, h, g)
     nsw = min(_sbr_seg_sweeps(n, h, g, np.dtype(dt).itemsize),
@@ -297,8 +305,8 @@ def band_to_band(Adense, n: int, h: int, g: int):
     return _sbr_unpad(Ap, n=n), SBRResult(segs, n, h, g)
 
 
-@partial(jax.jit, static_argnames=("band",))
-def band_dense_from_reduction(mat_hh, band: int):
+@partial(jax.jit, static_argnames=("band", "pad"))
+def band_dense_from_reduction(mat_hh, band: int, pad: int = 0):
     """``reduction_to_band`` output (DistMatrix) -> dense band matrix.
 
     Masks off the reflectors stored strictly below the band AND the
@@ -306,14 +314,24 @@ def band_dense_from_reduction(mat_hh, band: int):
     mirror of annihilated blocks beyond the band — those entries are
     pre-annihilation garbage, not zeros).  One jit from storage order:
     materializing the natural matrix separately would hold a third n^2
-    buffer at the peak (12.9 GB instead of 8.6 at n = 32768)."""
+    buffer at the peak (12.9 GB instead of 8.6 at n = 32768).
+
+    ``pad > 0`` emits the stage-2 workspace shape ``[n+pad, n+pad]``
+    directly (zeros beyond n), fusing what ``_sbr_pad`` would otherwise
+    do as a separate jit whose donation cannot alias — at n = 32768
+    that separate pad holds dense + padded-dense (8.9 GB) ON TOP of
+    the packed reflectors; the fused form peaks at mat_hh + output."""
     from ..internal import natural_exact
     nat = natural_exact(mat_hh)
     n = nat.shape[0]
     i = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     j = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return jnp.where(jnp.abs(i - j) <= band, nat,
-                     jnp.zeros((), nat.dtype))
+    masked = jnp.where(jnp.abs(i - j) <= band, nat,
+                       jnp.zeros((), nat.dtype))
+    if pad:
+        out = jnp.zeros((n + pad, n + pad), nat.dtype)
+        return lax.dynamic_update_slice(out, masked, (0, 0))
+    return masked
 
 
 @partial(jax.jit, static_argnames=("band_size",))

@@ -152,7 +152,8 @@ def hermitian_eigensolver(
     if use_sbr:
         from .band_reduction import (band_dense_from_reduction,
                                      band_to_band, extract_band_dense)
-        dense = band_dense_from_reduction(mat_hh, red_band)
+        dense = band_dense_from_reduction(mat_hh, red_band,
+                                          pad=2 * red_band + band)
         if use_hh and col_shard is None:
             from .bt_reduction_to_band import pack_hh_panels
             mat_hh = pack_hh_panels(mat_hh, red_band, donate=True)

@@ -61,7 +61,7 @@ def run(n, b1, band=128):
                                              donate=True)
             sync(mat_hh.data)
             t1 = time.perf_counter()
-            dense = band_dense_from_reduction(mat_hh, b1)
+            dense = band_dense_from_reduction(mat_hh, b1, pad=2 * b1 + band)
             del mat_hh
             sync(dense)
             t2 = time.perf_counter()
