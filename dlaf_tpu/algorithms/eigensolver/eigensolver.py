@@ -111,7 +111,10 @@ def hermitian_eigensolver(
             if x is not None:       # force completion before attributing
                 np.asarray(jnp.asarray(x).ravel()[0:1])
             dt = timer.mark(name)
-            print(f"  [stage] {name}: {dt:.2f}s", flush=True)
+            import sys
+            # stderr: bench.py's stdout is a JSON-line protocol
+            print(f"  [stage] {name}: {dt:.2f}s", file=sys.stderr,
+                  flush=True)
 
     adtype, ablock, agrid = a.dtype, a.block_size, a.grid
     import jax
@@ -303,8 +306,12 @@ def hermitian_eigensolver(
                                    ablock, agrid)
     debug_dump("eigensolver", evec, "eigenvectors")
     if timer is not None:
-        print("eigensolver stage breakdown:")
-        timer.report()
+        import sys
+
+        from ...utils import trace as _trace
+        _trace.last_stage_times = dict(timer.stages)
+        print("eigensolver stage breakdown:", file=sys.stderr)
+        timer.report(file=sys.stderr)
     return lam, evec
 
 

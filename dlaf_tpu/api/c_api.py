@@ -228,11 +228,40 @@ def _cholesky(ctx, uplo, a, desc):
     return 0
 
 
+def _operand_view(a, desc):
+    """(full buffer, 1-based descriptor) -> writable operand sub-view."""
+    av = np.asarray(a)
+    if av.shape != (desc.m, desc.n):
+        av = av.reshape(desc.m, desc.n, order="F")
+    oi, oj = desc.i - 1, desc.j - 1
+    m = desc.subm if desc.subm is not None else desc.m - oi
+    nn = desc.subn if desc.subn is not None else desc.n - oj
+    return av[oi:oi + m, oj:oj + nn]
+
+
+def _fp64_refine_route(grid, *arrays):
+    """d-type accuracy on an f32 chip: route through the dd-residual
+    refinement paths (algorithms/refine.py) when enabled — the
+    reference computes d natively (include/dlaf/types.h:31-61)."""
+    from ..tune import get_tune_parameters
+    iters = get_tune_parameters().fp64_refine_iters
+    return (iters if iters > 0
+            and all(np.asarray(x).dtype == np.float64 for x in arrays)
+            and (grid is None or grid.mesh.size == 1) else 0)
+
+
 def _cholesky_inverse(ctx, uplo, a, desc):
     """Reference semantics (``dlaf_c/inverse/cholesky.h``): ``a`` holds
     the CHOLESKY FACTOR on entry (potri, not potrf+potri)."""
     from ..algorithms.inverse.cholesky import inverse_from_cholesky_factor
     grid = _grid_from_context(ctx)
+    iters = _fp64_refine_route(grid, a)
+    if iters:
+        from ..algorithms.refine import cholesky_inverse_refine
+        sub = _operand_view(a, desc)
+        sub[...] = cholesky_inverse_refine(
+            uplo.upper(), sub, (desc.mb, desc.nb), iters=iters)
+        return 0
     mat = _wrap(a, desc, grid)
     out = inverse_from_cholesky_factor(uplo.upper(), mat)
     _writeback(a, out, desc)
@@ -256,6 +285,20 @@ def _eigensolver(ctx, uplo, a, desca, w, z, descz, n_ev=None):
                 desca.j - 1:desca.j - 1 + nop]
         lam, U = hermitian_eigensolver_host(
             sub, (desca.mb, desca.nb), uplo.upper(), grid=grid,
+            eigenvalues_index_end=n_ev)
+        w[: len(lam)] = lam
+        zdst = z[:, : U.shape[1]] if z.ndim == 2 else z
+        if zdst.shape == U.shape:
+            zdst[...] = U
+        else:
+            zdst.reshape(-1)[: U.size] = U.ravel(order="F")
+        return 0
+    iters = _fp64_refine_route(grid, a)
+    if iters:
+        from ..algorithms.refine import hermitian_eigensolver_refined
+        sub = _operand_view(a, desca)
+        lam, U = hermitian_eigensolver_refined(
+            sub, (desca.mb, desca.nb), uplo.upper(),
             eigenvalues_index_end=n_ev)
         w[: len(lam)] = lam
         zdst = z[:, : U.shape[1]] if z.ndim == 2 else z
@@ -302,6 +345,22 @@ def _gen_eigensolver(ctx, uplo, a, desca, b, descb, w, z, descz,
         subb = b[descb.i - 1:descb.i - 1 + nop,
                  descb.j - 1:descb.j - 1 + nop]
         lam, U = hermitian_generalized_eigensolver_host(
+            suba, subb, (desca.mb, desca.nb), uplo.upper(),
+            factorized=factorized, eigenvalues_index_end=n_ev)
+        w[: len(lam)] = lam
+        zdst = z[:, : U.shape[1]] if z.ndim == 2 else z
+        if zdst.shape == U.shape:
+            zdst[...] = U
+        else:
+            zdst.reshape(-1)[: U.size] = U.ravel(order="F")
+        return 0
+    iters = _fp64_refine_route(grid, a, b)
+    if iters:
+        from ..algorithms.refine import (
+            hermitian_generalized_eigensolver_refined)
+        suba = _operand_view(a, desca)
+        subb = _operand_view(b, descb)
+        lam, U = hermitian_generalized_eigensolver_refined(
             suba, subb, (desca.mb, desca.nb), uplo.upper(),
             factorized=factorized, eigenvalues_index_end=n_ev)
         w[: len(lam)] = lam

@@ -44,6 +44,13 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+#: stage times of the most recent traced eigensolver run
+#: (``{stage_name: seconds}``); written by the driver when
+#: ``trace_eigensolver_stages`` is on so harnesses (bench.py) can attach
+#: a per-stage breakdown to their records without parsing stdout.
+last_stage_times: Dict[str, float] = {}
+
+
 class StageTimer:
     """Wall-clock stage timer (the reference's ``common::Timer``).
 

@@ -53,6 +53,7 @@ def main():
     lam, v = hermitian_eigensolver(holder.pop(), "L", band_size=band,
                                    donate_input=True)
     lam = np.asarray(lam)
+    v.data[0, 0].item()      # wait for the LAST stage, not just D&C
     t1 = time.time()
     print(f"HEEV n={n} wall {t1 - t0:.1f}s (cold, incl. compile)",
           flush=True)
@@ -64,6 +65,7 @@ def main():
         lam, v = hermitian_eigensolver(holder.pop(), "L", band_size=band,
                                        donate_input=True)
         lam = np.asarray(lam)
+        v.data[0, 0].item()  # wait for the LAST stage, not just D&C
         t3 = time.time()
         print(f"HEEV n={n} wall {t3 - t2:.1f}s (WARM, in-process)",
               flush=True)

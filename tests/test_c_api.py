@@ -295,3 +295,53 @@ def test_cholesky_d_fp64_refine_knob():
     r = np.linalg.norm(f @ f.T - a) / np.linalg.norm(a)
     assert r < 1e-12
     c_api.dlaf_free_grid(ctx)
+
+
+def test_potri_syevd_sygvd_d_fp64_refine_routes():
+    """With DLAF_FP64_REFINE every d-typed entry (potri / syevd /
+    sygvd) reaches fp64-grade results through the dd-residual
+    refinement paths (VERDICT r4 #4: d parity breadth on chip)."""
+    from dlaf_tpu.tune import set_tune_parameters
+    n, nb = 64, 16
+    ctx = c_api.dlaf_create_grid(1, 1)
+    a = mu.random_hermitian_positive_definite(n, np.float64, 7)
+    bmat = mu.random_hermitian_positive_definite(n, np.float64, 8) \
+        + np.eye(n)
+    desc = c_api.DLAF_descriptor(n, n, nb, nb)
+    set_tune_parameters(fp64_refine_iters=2)
+    try:
+        # potri: factor-input semantics
+        buf = np.linalg.cholesky(a).copy()
+        rc = c_api.dlaf_inverse_from_cholesky_factor_d(ctx, "L", buf, desc)
+        assert rc == 0
+        X = np.tril(buf) + np.tril(buf, -1).T
+        assert np.linalg.norm(a @ X - np.eye(n)) < 1e-9
+
+        # syevd: d-grade eigenVECTORS, not just values
+        buf = a.copy()
+        w = np.zeros(n)
+        z = np.zeros((n, n))
+        rc = c_api.dlaf_symmetric_eigensolver_d(ctx, "L", buf, desc, w, z,
+                                                desc)
+        assert rc == 0
+        assert np.abs(w - np.linalg.eigvalsh(a)).max() < 1e-10
+        r = np.linalg.norm(a @ z - z * w[None, :]) / np.linalg.norm(a)
+        assert r < 1e-10
+        assert np.linalg.norm(z.T @ z - np.eye(n)) < 1e-10
+
+        # sygvd: d-grade B-orthonormal vectors
+        import scipy.linalg as sla
+        bufa, bufb = a.copy(), bmat.copy()
+        w = np.zeros(n)
+        z = np.zeros((n, n))
+        rc = c_api.dlaf_symmetric_generalized_eigensolver_d(
+            ctx, "L", bufa, desc, bufb, desc, w, z, desc)
+        assert rc == 0
+        assert np.abs(w - sla.eigh(a, bmat, eigvals_only=True)).max() < 1e-9
+        r = np.linalg.norm(a @ z - (bmat @ z) * w[None, :]) \
+            / np.linalg.norm(a)
+        assert r < 1e-9
+        assert np.linalg.norm(z.T @ bmat @ z - np.eye(n)) < 1e-9
+    finally:
+        set_tune_parameters(fp64_refine_iters=0)
+    c_api.dlaf_free_grid(ctx)
