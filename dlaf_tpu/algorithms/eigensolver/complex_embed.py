@@ -42,6 +42,38 @@ def embed_hermitian(a: np.ndarray) -> np.ndarray:
     return np.block([[X, -Y], [Y, X]])
 
 
+def embed_hermitian_interleaved(a: np.ndarray) -> np.ndarray:
+    """Complex [n, n] -> real [2n, 2n] INTERLEAVED embedding: entry
+    ``a_ij = x + iy`` becomes the 2x2 block ``[[x, -y], [y, x]]`` at
+    rows/cols ``(2i, 2i+1) x (2j, 2j+1)``.
+
+    Same ring homomorphism as :func:`embed_hermitian` (similar by the
+    perfect-shuffle permutation) but TRIANGULARITY-PRESERVING: a lower
+    (upper) triangular complex matrix with REAL diagonal — every
+    Cholesky factor — maps to a real lower (upper) triangular matrix.
+    Hence ``interleave(L)`` IS the Cholesky factor of
+    ``interleave(B)``: the factorized generalized eigensolver
+    (``gen_eigensolver/impl.h:81-104``) can reuse a user-supplied
+    complex factor on the accelerator without reassembling B.
+    """
+    a = np.asarray(a)
+    n = a.shape[0]
+    rdt = np.zeros((), a.dtype).real.dtype
+    M = np.empty((2 * n, 2 * n), rdt)
+    M[0::2, 0::2] = a.real
+    M[1::2, 1::2] = a.real
+    M[0::2, 1::2] = -a.imag
+    M[1::2, 0::2] = a.imag
+    return M
+
+
+def deinterleave_rows(v2: np.ndarray) -> np.ndarray:
+    """Row layout of the interleaved embedding -> the block layout
+    ``[p; q]`` that :func:`extract_eigenpairs` expects."""
+    v2 = np.asarray(v2)
+    return np.concatenate([v2[0::2], v2[1::2]], axis=0)
+
+
 def extract_eigenpairs(lam2: np.ndarray, v2: np.ndarray, n: int,
                        n_ev: Optional[int] = None,
                        cluster_tol: Optional[float] = None,

