@@ -122,13 +122,25 @@ def hermitian_eigensolver(
     # two-stage reduction (SBR): full -> sbr_band with wide MXU-friendly
     # panels, then a block bulge chase sbr_band -> band (the reference's
     # band-size knobs adapted to the MXU contraction-depth cliff;
-    # band_reduction.py).  Single-device only for now (the dense stage-2
-    # scan has no sharded dimension).
+    # band_reduction.py).  Stage 1 distributes (partitioner-style
+    # reduction); the dense stage-2 scan is REPLICATED across the mesh —
+    # a serial O(n^2 b) stage at single-chip wall with zero collectives
+    # (the multi-process analogue is the rank-pipelined hh_chase_mp,
+    # the reference's SweepWorkerDist — mc.h:569).
     sbr_b1 = int(tp.eigensolver_sbr_band)
     use_sbr = (sbr_b1 > band and n > sbr_b1 + 1
-               and jax.process_count() == 1
-               and (agrid is None or agrid.mesh.size == 1))
+               and jax.process_count() == 1)
     red_band = sbr_b1 if use_sbr else band
+
+    def replicate(x):
+        """Multi-device mesh: make the serial-stage operand fully
+        replicated so the scan runs redundantly on every device (no
+        per-iteration halo collectives, single-chip wall time)."""
+        if agrid is None or agrid.mesh.size == 1:
+            return x
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        return jax.device_put(x, NamedSharding(agrid.mesh, P()))
 
     mat_hh, taus = reduction_to_band(a, red_band, donate=donate_input)
     if donate_input:
@@ -146,17 +158,14 @@ def hermitian_eigensolver(
     use_wavefront = (b2t_algo in ("wavefront", "pallas")
                      and not np.issubdtype(np.dtype(adtype),
                                            np.complexfloating)
-                     and jax.process_count() == 1 and n > 2 and band > 1
-                     # a multi-device mesh would execute the replicated
-                     # scan redundantly on every device (no sharded dim)
-                     and (agrid is None or agrid.mesh.size == 1))
+                     and jax.process_count() == 1 and n > 2 and band > 1)
     use_hh = b2t_algo != "givens"
     sbr_res = None
     if use_sbr:
         from .band_reduction import (band_dense_from_reduction,
                                      band_to_band, extract_band_dense)
-        dense = band_dense_from_reduction(mat_hh, red_band,
-                                          pad=2 * red_band + band)
+        dense = replicate(band_dense_from_reduction(mat_hh, red_band,
+                                                    pad=2 * red_band + band))
         if use_hh and col_shard is None:
             from .bt_reduction_to_band import pack_hh_panels
             mat_hh = pack_hh_panels(mat_hh, red_band, donate=True)
@@ -170,7 +179,7 @@ def hermitian_eigensolver(
         mark("extract_band")
     else:
         if use_wavefront:
-            ab = extract_band(mat_hh, band)     # stays on device
+            ab = replicate(extract_band(mat_hh, band))  # stays on device
         else:
             ab = np.asarray(extract_band(mat_hh, band))
         mark("extract_band")
