@@ -278,7 +278,16 @@ def _panel_loop(NAT, taus_all, n, b, G, constrain):
         NAT, taus_all = carry
         j0 = k * b
         c0 = j0 + b
-        panel = lax.dynamic_slice(NAT, (c0, j0), (pmp, b))
+        # read the panel from the Hermitian MIRROR (adj of the [b, pmp]
+        # row block): geqrf's custom call prefers COLUMN-major operands,
+        # and slicing the panel directly propagates that preference all
+        # the way to the while carry — XLA then keeps the whole [n+G]^2
+        # workspace in {0,1} and inserts full-matrix layout-flip copies
+        # at every bucket boundary (measured r5: 110 column-major refs,
+        # 2x temp at n=8192, 4.25 GiB copies at 32k).  The transpose
+        # INVERTS the layout pull: the small [pmp, b] panel may get
+        # whatever layout QR wants while the workspace stays row-major.
+        panel = tile.adj(lax.dynamic_slice(NAT, (j0, c0), (b, pmp)))
         pfix = jnp.zeros((PH, b), dtype)
         pfix = lax.dynamic_update_slice(pfix, panel, (0, 0))
         Rf, Vf, taus = _panel_qr(pfix)

@@ -34,10 +34,10 @@ G, b = 8, 128
 TB = 3 * b
 
 
-def kernel(which_ref, reps_ref, big_in, out_ref, big, sm, v3d):
+def kernel(reps_ref, big_in, out_ref, big, sm, v3d, *, WHICH):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    which = which_ref[0]
+    which = WHICH
     reps = reps_ref[0]
     dt = jnp.float32
     ind = (lax.broadcasted_iota(jnp.int32, (G, G * b), 1) // b ==
@@ -52,12 +52,13 @@ def kernel(which_ref, reps_ref, big_in, out_ref, big, sm, v3d):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     def run(w, body):
-        @pl.when(which == w)
-        def _():
+        if w != WHICH:
+            return
+        if True:
             def it(i, c):
                 return body(i, c)
             acc = lax.fori_loop(0, reps, it, jnp.zeros((), dt))
-            out_ref[0, 0] = acc
+            out_ref[...] = jnp.full((8, 128), acc, dt)
 
     # 0: copy value
     run(0, lambda i, c: c + big[0:G * b, :][0, 0])
@@ -152,7 +153,7 @@ def main():
     dt = jnp.float32
     big_in = jnp.ones((G * 4 * b, TB), dt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -160,13 +161,20 @@ def main():
                         pltpu.VMEM((G, b), dt),
                         pltpu.VMEM((16, G, b), dt)],
     )
-    fn = pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((8, 128), dt)],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )
-    jfn = jax.jit(lambda w, r: fn(jnp.asarray([w], jnp.int32),
-                                  jnp.asarray([r], jnp.int32), big_in))
+    from functools import partial as _p
+    fns = {}
+
+    def jfn(w, r):
+        if w not in fns:
+            f = pl.pallas_call(
+                _p(kernel, WHICH=w), grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((8, 128), dt)],
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True),
+            )
+            fns[w] = jax.jit(
+                lambda r, f=f: f(jnp.asarray([r], jnp.int32), big_in))
+        return fns[w](r)
 
     def timed(w, r, k):
         t0 = time.perf_counter()
