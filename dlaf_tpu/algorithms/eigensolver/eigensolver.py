@@ -155,7 +155,7 @@ def hermitian_eigensolver(
         b2t_algo = ("wavefront"
                     if (jax.default_backend() not in ("cpu",)
                         and n <= int(tp.wavefront_max_n)) else "hh")
-    use_wavefront = (b2t_algo in ("wavefront", "pallas")
+    use_wavefront = (b2t_algo in ("wavefront", "pallas", "pallas4")
                      and not np.issubdtype(np.dtype(adtype),
                                            np.complexfloating)
                      and jax.process_count() == 1 and n > 2 and band > 1)
@@ -227,6 +227,10 @@ def hermitian_eigensolver(
             from .pallas_chase import pallas_band_to_tridiagonal
             res = pallas_band_to_tridiagonal(ab, band)
             mark("band_to_tridiag (pallas, on device)")
+        elif b2t_algo == "pallas4":
+            from .pallas_chase_v4 import pallas_band_to_tridiagonal_v4
+            res = pallas_band_to_tridiagonal_v4(ab, band)
+            mark("band_to_tridiag (pallas v4, on device)")
         else:
             from .wavefront_chase import wavefront_band_to_tridiagonal
             res = wavefront_band_to_tridiagonal(ab, band)

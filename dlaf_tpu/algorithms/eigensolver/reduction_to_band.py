@@ -242,9 +242,17 @@ def _bucket_granule(n: int, b: int) -> int:
     Granularity: multiples of 1024 for large n — XLA's QR/gemm lowerings
     compile orders of magnitude slower at odd sizes (measured: geqrf at
     1792 rows ~ 90s, at 1920/2048/4096 ~ 1s).
+
+    G >= 2b keeps >= 2 panels per bucket: trip-count-1 fori_loops get
+    fully unrolled by XLA, and in the unrolled region layout assignment
+    happily flips the whole [n+G]^2 workspace to the QR custom call's
+    preferred column-major (the mirror-read transpose becomes a free
+    bitcast there) — full-matrix flip copies on every tail panel
+    (AOT-measured r5 at b=1024: 196 column-major refs, 4.8 GiB temps;
+    b=512 with 2-panel buckets: 0 refs, 0.8 GiB).
     """
     if n >= 2048:
-        return max(b, 1024)
+        return max(2 * b, 1024)
     return max(b, _cdiv(max(n // 8, 1), b) * b)
 
 
