@@ -128,6 +128,12 @@ def hermitian_eigensolver(
     # (the multi-process analogue is the rank-pipelined hh_chase_mp,
     # the reference's SweepWorkerDist — mc.h:569).
     sbr_b1 = int(tp.eigensolver_sbr_band)
+    if (sbr_b1 == 0 and jax.default_backend() not in ("cpu",)
+            and n >= int(tp.eigensolver_sbr_auto_min)):
+        # auto policy: two-stage wins from ~24k (measured r4 crossover;
+        # the b1=1024 stage-1 memory wall fell with the r5 layout fixes
+        # — 1.45 GiB temps at 32k, was 13.1)
+        sbr_b1 = 1024
     use_sbr = (sbr_b1 > band and n > sbr_b1 + 1
                and jax.process_count() == 1)
     red_band = sbr_b1 if use_sbr else band

@@ -108,10 +108,17 @@ class TuneParameters:
     #: SBR intermediate band: when > the chase band, the reduction runs
     #: in TWO stages — full -> sbr_band (wide panels, k = 2*sbr_band
     #: trailing contractions at MXU-efficient depth) then a block bulge
-    #: chase sbr_band -> band (band_reduction.py).  0 = one-stage.
+    #: chase sbr_band -> band (band_reduction.py).  0 = AUTO (b1 = 1024
+    #: on accelerator backends from ``eigensolver_sbr_auto_min`` up —
+    #: measured crossover 24576, BASELINE.md r4; the b=1024 memory wall
+    #: fell with the r5 layout fixes), -1 = force one-stage.
     #: Analogue of the reference's band-size knobs (``tune.h:114-163``)
     #: adapted to the MXU's contraction-depth cliff.
     eigensolver_sbr_band: int = _env("DLAF_SBR_BAND", 0, int)
+
+    #: AUTO-mode SBR enable threshold (measured r4: two-stage wins from
+    #: ~24k; at 16384 it loses slightly)
+    eigensolver_sbr_auto_min: int = _env("DLAF_SBR_AUTO_MIN", 24576, int)
 
     #: fp64 iterative refinement for the d-typed C-API entries on a chip
     #: without native f64 (algorithms/refine.py): number of dd-residual

@@ -16,11 +16,15 @@ def main():
     import jax.numpy as jnp
     import scipy.linalg as sla
 
-    from dlaf_tpu.algorithms.eigensolver.pallas_chase import (
-        pallas_band_to_tridiagonal)
+    if os.environ.get("PALLAS_V4"):
+        from dlaf_tpu.algorithms.eigensolver.pallas_chase_v4 import (
+            pallas_band_to_tridiagonal_v4 as pallas_band_to_tridiagonal)
+    else:
+        from dlaf_tpu.algorithms.eigensolver.pallas_chase import (
+            pallas_band_to_tridiagonal)
 
     ns = [int(a) for a in sys.argv[1:]] or [2048]
-    b = 128
+    b = int(os.environ.get("PALLAS_BAND", "128"))
     for n in ns:
         rng = np.random.default_rng(0)
         ab = rng.standard_normal((b + 1, n)).astype(np.float32)
