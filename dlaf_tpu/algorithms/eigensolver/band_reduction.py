@@ -266,7 +266,7 @@ def _sbr_scan_seg(Ap, starts_seg, n: int, h: int, g: int, nsw: int):
     return Ap, Vs, Ts
 
 
-def band_to_band(Adense, n: int, h: int, g: int):
+def band_to_band(Adense, n: int, h: int, g: int, unpad: bool = True):
     """Stage-2 reduction: dense Hermitian ``Adense [n, n]`` (both
     triangles stored, lower bandwidth <= h) -> bandwidth ``g``.
 
@@ -275,6 +275,11 @@ def band_to_band(Adense, n: int, h: int, g: int):
     separate pad jit whose donation cannot alias.
 
     Returns ``(Ared [n, n] dense, SBRResult)``; donates ``Adense``.
+    ``unpad=False`` returns the PADDED ``[n+2h+g, n+2h+g]`` workspace
+    instead (pad region = chased-off bulge garbage): the final unpad
+    slice cannot alias its input (shape change) and would hold padded +
+    dense concurrently (8.9 GB at n = 32768) — band extraction reads
+    the top-left ``n x n`` band straight from the padded array.
     """
     dt = Adense.dtype
     starts, tmax = sbr_schedule(n, h, g)
@@ -284,7 +289,8 @@ def band_to_band(Adense, n: int, h: int, g: int):
     else:
         Ap = _sbr_pad(Adense, pad=2 * h + g)
     if len(starts) == 0:
-        return _sbr_unpad(Ap, n=n), SBRResult([], n, h, g)
+        return (Ap if not unpad else _sbr_unpad(Ap, n=n),
+                SBRResult([], n, h, g))
     nsw = min(_sbr_seg_sweeps(n, h, g, np.dtype(dt).itemsize),
               len(starts))
     idx_all, js_all = sbr_real_windows(n, h, g)
@@ -302,7 +308,8 @@ def band_to_band(Adense, n: int, h: int, g: int):
         Vw = _seg_window_gather(Vs, loc)
         tw = _seg_window_gather(Ts, loc)
         segs.append((Vw, tw, js_all[sel].copy()))
-    return _sbr_unpad(Ap, n=n), SBRResult(segs, n, h, g)
+    return (Ap if not unpad else _sbr_unpad(Ap, n=n),
+            SBRResult(segs, n, h, g))
 
 
 @partial(jax.jit, static_argnames=("band", "pad"))
@@ -334,14 +341,17 @@ def band_dense_from_reduction(mat_hh, band: int, pad: int = 0):
     return masked
 
 
-@partial(jax.jit, static_argnames=("band_size",))
-def extract_band_dense(A, band_size: int):
-    """Dense [n, n] -> lower-banded storage ``ab[i, j] = A[j+i, j]``
-    (same contract as ``reduction_to_band.extract_band``)."""
-    n = A.shape[0]
+@partial(jax.jit, static_argnames=("band_size", "n"))
+def extract_band_dense(A, band_size: int, n: int | None = None):
+    """Dense [>=n, >=n] -> lower-banded storage ``ab[i, j] = A[j+i, j]``
+    (same contract as ``reduction_to_band.extract_band``).  ``n`` reads
+    the band of the top-left ``n x n`` block only (the SBR padded
+    workspace carries chased-off bulge garbage beyond ``n``)."""
+    if n is None:
+        n = A.shape[0]
     ab = jnp.zeros((band_size + 1, n), A.dtype)
     for i in range(min(band_size, max(n - 1, 0)) + 1):
-        d = jnp.diagonal(A, offset=-i)
+        d = jnp.diagonal(A, offset=-i)[: n - i]
         ab = ab.at[i, : n - i].set(d)
     return ab
 

@@ -176,9 +176,13 @@ def hermitian_eigensolver(
             from .bt_reduction_to_band import pack_hh_panels
             mat_hh = pack_hh_panels(mat_hh, red_band, donate=True)
             mark("pack_hh_panels")
-        dense, sbr_res = band_to_band(dense, n, h=red_band, g=band)
+        # unpad=False: the band is read straight off the padded stage-2
+        # workspace — the unpad slice cannot alias (shape change) and
+        # held padded + dense concurrently (8.9 GB at n = 32768)
+        dense, sbr_res = band_to_band(dense, n, h=red_band, g=band,
+                                      unpad=False)
         mark("band_to_band (SBR stage 2)", dense)
-        ab = extract_band_dense(dense, band)
+        ab = extract_band_dense(dense, band, n=n)
         dense = None
         if not use_wavefront:
             ab = np.asarray(ab)

@@ -49,6 +49,13 @@ from .wavefront_chase import (_raw_index_map, _segment_iters,
 #: slots per batched group; G*S must be a multiple of 8 (S = 3b-1 odd)
 _GROUP = 8
 
+#: timing-bisect knob (hardware profiling only; results are WRONG for
+#: lvl > 0): 0 = full kernel, 1 = skip the 3 phase substeps, 2 = also
+#: skip the shift roll-in/out chains, 3 = DMA + slab gather/scatter only
+import os as _os
+
+_LVL = int(_os.environ.get("DLAF_PALLAS4_LVL", "0"))
+
 
 def _group_width(n: int, b: int) -> int:
     W = _wavefront_width(n, b)
@@ -217,16 +224,20 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         # effective per-slot shift is (sh0 + k) mod b: apply the dynamic
         # sh0 + static k, then cancel the excess b*(sh0+k)//b with
         # conditional static rolls (left by -b ~ 2b, -2b ~ b mod 3b)
-        x = BS[...]
-        x = dyn_roll(x, sh0, left=True)
-        parts = []
-        for k in range(G):
-            xk = roll_l(x[k * 4 * b:(k + 1) * 4 * b, :], k)
-            e = sh0 + k
-            xk = jnp.where((e >= b) & (e < 2 * b), roll_l(xk, 2 * b), xk)
-            xk = jnp.where(e >= 2 * b, roll_l(xk, b), xk)
-            parts.append(xk)
-        BS[...] = jnp.concatenate(parts, axis=0)
+        if _LVL < 3:
+            x = BS[...]
+            if _LVL < 2:
+                x = dyn_roll(x, sh0, left=True)
+                parts = []
+                for k in range(G):
+                    xk = roll_l(x[k * 4 * b:(k + 1) * 4 * b, :], k)
+                    e = sh0 + k
+                    xk = jnp.where((e >= b) & (e < 2 * b),
+                                   roll_l(xk, 2 * b), xk)
+                    xk = jnp.where(e >= 2 * b, roll_l(xk, b), xk)
+                    parts.append(xk)
+                x = jnp.concatenate(parts, axis=0)
+            BS[...] = x
 
         # per-slot quantities
         m_G = jnp.asarray(Wg - 1 - G * g, jnp.int32) - rowG1   # [G, 1]
@@ -400,14 +411,15 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
                 BS[k * 4 * b + rows_dst:
                    k * 4 * b + rows_dst + nrows, :] = a
 
-        V_rows, tau_G = phase(0, V_rows, V_cols, tau_G)
-        V_cols = mxu(eyeb, V_rows, 0, 1)                       # [b, G]
-        patch(0, S, b + 1)
-        V_rows, tau_G = phase(1, V_rows, V_cols, tau_G)
-        V_cols = mxu(eyeb, V_rows, 0, 1)
-        patch(b, 4 * b - 1, 1)
-        V_rows, tau_G = phase(2, V_rows, V_cols, tau_G)
-        V_cols = mxu(eyeb, V_rows, 0, 1)
+        if _LVL < 1:
+            V_rows, tau_G = phase(0, V_rows, V_cols, tau_G)
+            V_cols = mxu(eyeb, V_rows, 0, 1)                   # [b, G]
+            patch(0, S, b + 1)
+            V_rows, tau_G = phase(1, V_rows, V_cols, tau_G)
+            V_cols = mxu(eyeb, V_rows, 0, 1)
+            patch(b, 4 * b - 1, 1)
+            V_rows, tau_G = phase(2, V_rows, V_cols, tau_G)
+            V_cols = mxu(eyeb, V_rows, 0, 1)
 
         # store group v/tau back (one-hot scatter).  Scatter only the
         # slots ACTIVE this iteration: inactive (pad / tail) slots can
@@ -426,17 +438,18 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         # un-roll and scatter back ASCENDING k: block k's copy of the
         # shared rows [S, 4b) carries its later-phase writes and must
         # override block k-1's stale copy of the same gbuf rows
-        x = BS[...]
-        parts = []
-        for k in range(G):
-            xk = roll_l(x[k * 4 * b:(k + 1) * 4 * b, :], (L - k) % L)
-            e = sh0 + k
-            xk = jnp.where((e >= b) & (e < 2 * b), roll_l(xk, b), xk)
-            xk = jnp.where(e >= 2 * b, roll_l(xk, 2 * b), xk)
-            parts.append(xk)
-        x = jnp.concatenate(parts, axis=0)
-        x = dyn_roll(x, sh0, left=False)
-        BS[...] = x
+        if _LVL < 2:
+            x = BS[...]
+            parts = []
+            for k in range(G):
+                xk = roll_l(x[k * 4 * b:(k + 1) * 4 * b, :], (L - k) % L)
+                e = sh0 + k
+                xk = jnp.where((e >= b) & (e < 2 * b), roll_l(xk, b), xk)
+                xk = jnp.where(e >= 2 * b, roll_l(xk, 2 * b), xk)
+                parts.append(xk)
+            x = jnp.concatenate(parts, axis=0)
+            x = dyn_roll(x, sh0, left=False)
+            BS[...] = x
         for kk in range(8):
             @pl.when(drg == kk)
             def _(kk=kk):

@@ -65,10 +65,10 @@ def run(n, b1, band=128):
             del mat_hh
             sync(dense)
             t2 = time.perf_counter()
-            dense, res = band_to_band(dense, n, h=b1, g=band)
+            dense, res = band_to_band(dense, n, h=b1, g=band, unpad=False)
             sync(dense)
             t3 = time.perf_counter()
-            ab = extract_band_dense(dense, band)
+            ab = extract_band_dense(dense, band, n=n)
             sync(ab)
             t4 = time.perf_counter()
             nseg = len(res.segs)

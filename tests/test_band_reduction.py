@@ -166,3 +166,20 @@ def test_eigensolver_sbr_partial_spectrum():
     resid = np.linalg.norm(a @ vn - vn * lam[None, :])
     assert resid / np.linalg.norm(a) < 1e-12
     np.testing.assert_allclose(lam, np.linalg.eigvalsh(a)[:k], atol=1e-10)
+
+
+def test_unpadded_return_matches_band_extraction():
+    """unpad=False returns the padded workspace; band extraction from it
+    must equal the unpadded path (the driver's lean route)."""
+    from dlaf_tpu.algorithms.eigensolver.band_reduction import (
+        extract_band_dense)
+    n, h, g = 64, 16, 4
+    A = random_banded_full(n, h, np.float64, seed=21)
+    Ared, res1 = band_to_band(A.copy(), n, h, g)
+    Ap, res2 = band_to_band(A.copy(), n, h, g, unpad=False)
+    assert Ap.shape[0] == n + 2 * h + g
+    np.testing.assert_allclose(np.asarray(Ap)[:n, :n], np.asarray(Ared),
+                               atol=0)
+    ab1 = np.asarray(extract_band_dense(np.asarray(Ared), g))
+    ab2 = np.asarray(extract_band_dense(Ap, g, n=n))
+    np.testing.assert_allclose(ab2, ab1, atol=0)
