@@ -56,6 +56,15 @@ import os as _os
 
 _LVL = int(_os.environ.get("DLAF_PALLAS4_LVL", "0"))
 
+#: keep the whole T strip in a VMEM scratch across the grid (50 MB at
+#: n = 32768 < the measured 128 MB v5e VMEM), replacing the per-group
+#: HBM DMA round-trip.  MEASURED SLOWER (0.51-0.56 vs 0.41-0.43 ms/iter
+#: at n = 2048): Mosaic vector loads need 8-aligned sublane starts, so
+#: the unaligned access becomes an aligned [4b+8] read-modify-write
+#: splice that costs more than the DMA staging it replaces.  Kept as an
+#: opt-in (DLAF_PALLAS4_VMEM=1) measurement path; default off.
+_VMEM_T = _os.environ.get("DLAF_PALLAS4_VMEM", "0") != "0"
+
 
 def _group_width(n: int, b: int) -> int:
     W = _wavefront_width(n, b)
@@ -93,7 +102,8 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
     def _():
         v_out[...] = v_in[...]
         tau_out[...] = tau_in[...]
-        cp = pltpu.make_async_copy(T_in, T_out, sem_seed)
+        cp = pltpu.make_async_copy(T_in, gbuf if _VMEM_T else T_out,
+                                   sem_seed)
         cp.start()
         cp.wait()
 
@@ -190,22 +200,39 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
     def group(g):
         jl = jnp.asarray(1, jnp.int32) + it_eff \
             + jnp.asarray((Wg - G - G * g) * S, jnp.int32)
-        gb = pl.multiple_of((jl // 8) * 8, 8)
-        drg = jl - gb
 
-        cp_in = pltpu.make_async_copy(
-            T_out.at[pl.ds(gb, GH), :], gbuf, sem_in)
-        cp_in.start()
-        cp_in.wait()
+        if _VMEM_T:
+            # VMEM gather: slot k's slab starts at jl+(G-1-k)*S.  Mosaic
+            # vector loads need the sublane start provably 8-aligned, so
+            # load from the aligned base and slice the +kk residue
+            # statically (st mod 8 differs per k: S = 383 is 7 mod 8)
+            for k in range(G):
+                st = jl + jnp.asarray((G - 1 - k) * S, jnp.int32)
+                base = pl.multiple_of((st // 8) * 8, 8)
+                dr = st - base
+                for kk in range(8):
+                    @pl.when(dr == kk)
+                    def _(kk=kk, k=k, base=base):
+                        blk = gbuf[pl.ds(base, 4 * b + 8), :]
+                        BS[k * 4 * b:(k + 1) * 4 * b, :] = \
+                            blk[kk:kk + 4 * b, :]
+        else:
+            gb = pl.multiple_of((jl // 8) * 8, 8)
+            drg = jl - gb
 
-        # slab gather: BS[k*4b:(k+1)*4b] = gbuf[pos0_k + drg : +4b]
-        for kk in range(8):
-            @pl.when(drg == kk)
-            def _(kk=kk):
-                for k in range(G):
-                    p0 = (G - 1 - k) * S + kk
-                    BS[k * 4 * b:(k + 1) * 4 * b, :] = \
-                        gbuf[p0:p0 + 4 * b, :]
+            cp_in = pltpu.make_async_copy(
+                T_out.at[pl.ds(gb, GH), :], gbuf, sem_in)
+            cp_in.start()
+            cp_in.wait()
+
+            # slab gather: BS[k*4b:(k+1)*4b] = gbuf[pos0_k + drg : +4b]
+            for kk in range(8):
+                @pl.when(drg == kk)
+                def _(kk=kk):
+                    for k in range(G):
+                        p0 = (G - 1 - k) * S + kk
+                        BS[k * 4 * b:(k + 1) * 4 * b, :] = \
+                            gbuf[p0:p0 + 4 * b, :]
 
         # ---- per-slot shifts: sh_k = (sh0 + k) mod b ----
         # j0_k = jl + (G-1-k)*S; sh0 = j0_{k=0} mod b
@@ -450,21 +477,53 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             x = jnp.concatenate(parts, axis=0)
             x = dyn_roll(x, sh0, left=False)
             BS[...] = x
-        for kk in range(8):
-            @pl.when(drg == kk)
-            def _(kk=kk):
-                for k in range(G):
-                    p0 = (G - 1 - k) * S + kk
-                    gbuf[p0:p0 + 4 * b, :] = \
+        if _VMEM_T:
+            # ASCENDING k: later blocks' shared-row copies override.
+            # Aligned read-modify-write: splice the slab into the
+            # surrounding [4b+8] window at the static +kk residue (the
+            # pad rows re-store their just-read values; k's load follows
+            # k-1's store in program order, so overlaps stay coherent)
+            for k in range(G):
+                st = jl + jnp.asarray((G - 1 - k) * S, jnp.int32)
+                base = pl.multiple_of((st // 8) * 8, 8)
+                dr = st - base
+                @pl.when(dr == 0)
+                def _(k=k, base=base):
+                    gbuf[pl.ds(base, 4 * b), :] = \
                         BS[k * 4 * b:(k + 1) * 4 * b, :]
+                for kk in range(1, 8):
+                    @pl.when(dr == kk)
+                    def _(kk=kk, k=k, base=base):
+                        blk = gbuf[pl.ds(base, 4 * b + 8), :]
+                        sl = BS[k * 4 * b:(k + 1) * 4 * b, :]
+                        gbuf[pl.ds(base, 4 * b + 8), :] = \
+                            jnp.concatenate(
+                                [blk[:kk, :], sl, blk[kk + 4 * b:, :]],
+                                axis=0)
+        else:
+            for kk in range(8):
+                @pl.when(drg == kk)
+                def _(kk=kk):
+                    for k in range(G):
+                        p0 = (G - 1 - k) * S + kk
+                        gbuf[p0:p0 + 4 * b, :] = \
+                            BS[k * 4 * b:(k + 1) * 4 * b, :]
 
-        cp_out = pltpu.make_async_copy(
-            gbuf, T_out.at[pl.ds(gb, GH), :], sem_out)
-        cp_out.start()
-        cp_out.wait()
+            cp_out = pltpu.make_async_copy(
+                gbuf, T_out.at[pl.ds(gb, GH), :], sem_out)
+            cp_out.start()
+            cp_out.wait()
 
     for g in range(NG):
         group(g)
+
+    if _VMEM_T:
+        # flush the VMEM-resident T once, on the segment's last iteration
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            cp = pltpu.make_async_copy(gbuf, T_out, sem_out)
+            cp.start()
+            cp.wait()
 
 
 def _chase_call_v4(T, vbuf, taubuf, it0, n: int, b: int, niter: int,
@@ -495,7 +554,9 @@ def _chase_call_v4(T, vbuf, taubuf, it0, n: int, b: int, niter: int,
             pl.BlockSpec((1, 3, b, Wp), lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GH, 3 * b), dt),                   # group region
+            # _VMEM_T: the WHOLE T strip lives in VMEM across the grid
+            # (50 MB at n = 32768); else a per-group staging region
+            pltpu.VMEM((T.shape[0] if _VMEM_T else GH, 3 * b), dt),
             pltpu.VMEM((_GROUP * 4 * b, 3 * b), dt),       # batched slab
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
