@@ -161,6 +161,11 @@ def hermitian_eigensolver(
         b2t_algo = ("wavefront"
                     if (jax.default_backend() not in ("cpu",)
                         and n <= int(tp.wavefront_max_n)) else "hh")
+        p4min = int(tp.pallas4_min_n)
+        if b2t_algo == "wavefront" and p4min > 0 and n >= p4min:
+            # batched-slot Mosaic kernel: wins once the wavefront width
+            # is large (see tune.pallas4_min_n for the measured model)
+            b2t_algo = "pallas4"
     use_wavefront = (b2t_algo in ("wavefront", "pallas", "pallas4")
                      and not np.issubdtype(np.dtype(adtype),
                                            np.complexfloating)
