@@ -43,8 +43,7 @@ from jax import lax
 from .hh_chase import HHChaseResult, hh_schedule
 from .pallas_chase import _t_rows as _t_rows_v3
 from .pallas_chase import build_t, t_diagonals
-from .wavefront_chase import (_raw_index_map, _segment_iters,
-                              _wavefront_width)
+from .wavefront_chase import _raw_index_map, _wavefront_width
 
 #: slots per batched group; G*S must be a multiple of 8 (S = 3b-1 odd)
 _GROUP = 8
@@ -198,8 +197,14 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
     Wc = jnp.asarray(W, jnp.int32)
 
     def group(g):
+        # ``g`` is a TRACED i32 scalar: the body is identical for every
+        # group except these scalars, so the group loop is a fori_loop
+        # and the Mosaic binary stays NG-independent (the unrolled form
+        # measured 195-460 s server-side program load at n = 8-16k,
+        # re-paid per solve once other programs evict it)
+        wg1g = jnp.asarray(Wg - 1, jnp.int32) - jnp.asarray(G, jnp.int32) * g
         jl = jnp.asarray(1, jnp.int32) + it_eff \
-            + jnp.asarray((Wg - G - G * g) * S, jnp.int32)
+            + (wg1g - jnp.asarray(G - 1, jnp.int32)) * jnp.asarray(S, jnp.int32)
 
         if _VMEM_T:
             # VMEM gather: slot k's slab starts at jl+(G-1-k)*S.  Mosaic
@@ -267,7 +272,7 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             BS[...] = x
 
         # per-slot quantities
-        m_G = jnp.asarray(Wg - 1 - G * g, jnp.int32) - rowG1   # [G, 1]
+        m_G = wg1g - rowG1                                     # [G, 1]
         s_G = it - m_G
         cnt_G = jnp.where(s_G >= 0,
                           (n - 3 - jnp.maximum(s_G, 0)) // b + 1,
@@ -286,9 +291,9 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         in_lo_B = (col3 < b) & ~hi3
 
         # ---- sweep start (m = 0 lives in the LAST group, slot G-1) --
-        if g == NG - 1:
+        if True:  # noqa: the block gates on traced scalars via pl.when
 
-            @pl.when(it < nsweeps)
+            @pl.when((g == NG - 1) & (it < nsweeps))
             def _():
                 base = (G - 1) * 4 * b
                 F0 = BS[base:base + b, :]
@@ -332,7 +337,7 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
                                          tau_out[...])
 
         # ---- load group v/tau via one-hot gather --------------------
-        vi0 = lax.rem(lax.rem(it - (Wg - 1 - G * g), Wc) + Wc, Wc)
+        vi0 = lax.rem(lax.rem(it - wg1g, Wc) + Wc, Wc)
         selL = lax.broadcasted_iota(jnp.int32, (Wp, G), 0)
         selK = lax.broadcasted_iota(jnp.int32, (Wp, G), 1)
         dlk = lax.rem(lax.rem(selL - selK - vi0, Wc) + Wc, Wc)
@@ -343,12 +348,13 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
         ones8 = jnp.full((8, 1), 1.0 / 8.0, dt)
         tau_G = mxu(tau8G, ones8, 0, 0)                        # [G, 1]
 
-        # static one-hot emission placement (m_k = Wg-1-G*g-k)
+        # one-hot emission placement (m_k = Wg-1-G*g-k)
         laneGW = lax.broadcasted_iota(jnp.int32, (G, Wp), 1)
         rowGW = lax.broadcasted_iota(jnp.int32, (G, Wp), 0)
-        selmj = (laneGW == (Wg - 1 - G * g) - rowGW).astype(dt)
+        selmj = (laneGW == wg1g - rowGW).astype(dt)
         laneM = lax.broadcasted_iota(jnp.int32, (1, Wp), 1)[0]
-        maskM = (laneM >= Wg - G - G * g) & (laneM <= Wg - 1 - G * g)
+        maskM = (laneM >= wg1g - jnp.asarray(G - 1, jnp.int32)) \
+            & (laneM <= wg1g)
 
         def phase(t, V_rows, V_cols, tau_G):
             act_G = (s_G >= 0) & (3 * m_G + t < cnt_G)         # [G, 1]
@@ -514,8 +520,9 @@ def _chase_kernel_v4(it0_ref, T_in, v_in, tau_in, T_out, v_out, tau_out,
             cp_out.start()
             cp_out.wait()
 
-    for g in range(NG):
-        group(g)
+    lax.fori_loop(0, NG,
+                  lambda g, c: (group(jnp.asarray(g, jnp.int32)), c)[1],
+                  jnp.int32(0))
 
     if _VMEM_T:
         # flush the VMEM-resident T once, on the segment's last iteration
@@ -611,7 +618,15 @@ def pallas_band_to_tridiagonal_v4(ab, band: int,
     vbuf = jnp.zeros((b, Wp), dt)
     taubuf = jnp.zeros((8, Wp), dt)
     nsweeps = n - 2
-    niter = _segment_iters(n, b, np.dtype(dt).itemsize)
+    # segment on the REAL emission width Wp (lane-padded to 128), not
+    # the wavefront's W: v4's ys block is [3, b, Wp] per iteration, so
+    # sizing by W under-counts up to 6x and a 32k run would stack a
+    # > 2^32-byte ys output — the exact r4 wavefront crash mode
+    cap = int(_os.environ.get("DLAF_WAVEFRONT_SEG_BYTES", 1 << 30))
+    per_iter = 3 * b * Wp * np.dtype(dt).itemsize
+    niter = max(1, cap // per_iter)
+    nseg = -(-nsweeps // niter) if nsweeps else 1
+    niter = -(-nsweeps // nseg) if nsweeps else 1
     segs = []
     for it0 in range(0, nsweeps, niter):
         T, vbuf, taubuf, ys = _chase_call_v4(T, vbuf, taubuf, it0,
