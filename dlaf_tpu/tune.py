@@ -86,13 +86,13 @@ class TuneParameters:
     #: every size, so the default cutoff is above the north star.
     wavefront_max_n: int = _env("DLAF_WAVEFRONT_MAX_N", 65536, int)
     #: smallest n "auto" picks the batched-slot Pallas chase (v4,
-    #: pallas_chase_v4.py) instead of the XLA wavefront.  v4's cost is
-    #: ~0.34 ms/iter fixed + ~0.07 ms per 8-slot group vs the
-    #: wavefront's ~0.03 ms per slot, so it wins once the wavefront
-    #: width is large (measured r5: n=8192 v4 0.55 vs wavefront 0.50
-    #: ms/iter — near tie; crossover ~12k; 32k projects 1.1 vs 2.54).
-    #: 0 disables (wavefront everywhere).
-    pallas4_min_n: int = _env("DLAF_PALLAS4_MIN_N", 0, int)
+    #: pallas_chase_v4.py) instead of the XLA wavefront.  Measured r5
+    #: (fori kernel, steady state): n=8192 0.46-0.48 vs wavefront 0.50
+    #: ms/iter, n=16384 0.66-0.74 vs 1.03 (10.8 vs 16.8 s); cost model
+    #: ~0.25 ms fixed + ~0.07 per 8-slot group -> 32k ~1.0 vs 2.54.
+    #: Driver-route residuals 4-5e-5 at n=1024-8192 on hw.  0 disables
+    #: (wavefront everywhere).
+    pallas4_min_n: int = _env("DLAF_PALLAS4_MIN_N", 8192, int)
     #: reduction-to-band trailing blocks larger than this stream the
     #: two-sided update over column chunks instead of materializing the
     #: full [pmp, pmp] trailing block twice per panel (0 = never stream).
