@@ -12,7 +12,7 @@ y.ravel()[0].item()
 print("canary ok")
 PY
   if [ $? -ne 0 ]; then echo "canary failed; backoff"; sleep 240; continue; fi
-  timeout 3000 env HEEV32K_SBR=${HEEV32K_SBR:-512} HEEV32K_SKIP_PROBE=1 HEEV32K_WARM_REPEAT=1 \
+  timeout 5400 env HEEV32K_SBR=${HEEV32K_SBR:-512} HEEV32K_SKIP_PROBE=1 HEEV32K_WARM_REPEAT=1 \
     python scripts/heev_32768.py && { echo DONE; exit 0; }
   echo "run failed; backoff"
   sleep 240
