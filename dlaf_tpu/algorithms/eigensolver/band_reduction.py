@@ -312,6 +312,54 @@ def band_to_band(Adense, n: int, h: int, g: int, unpad: bool = True):
             SBRResult(segs, n, h, g))
 
 
+@partial(jax.jit, static_argnames=("h", "ld", "n"))
+def _band_strip_from_storage(data, h: int, ld: int, n: int):
+    """Lower band strip ``ab[d, j] = A[j+d, j]`` read straight off a
+    SINGLE-DEVICE storage buffer (storage order == natural order on a
+    1x1 grid, ``matrix/layout.py:80``).  One [h+1, n] gather — no n^2
+    temp, unlike ``extract_band``'s per-diagonal loop (which also
+    unrolls h+1 = 1025 ops at the SBR band)."""
+    del ld  # row padding is cropped by the [:n, :n] view
+    j = lax.broadcasted_iota(jnp.int32, (n, h + 1), 0)
+    d = lax.broadcasted_iota(jnp.int32, (n, h + 1), 1)
+    idx = jnp.minimum(j + d, n - 1)
+    # take_along_axis on the transposed view fuses the permutation into
+    # the gather: AOT at 32k h=1024 -> 0.27 GB temps (a flat-index
+    # jnp.take formulation forced a full 4.13 GB copy of data)
+    vals = jnp.take_along_axis(data[:n, :n].T, idx, axis=1)   # [n, h+1]
+    ok = (j + d) < n
+    return jnp.where(ok, vals, jnp.zeros((), data.dtype)).T
+
+
+@partial(jax.jit, static_argnames=("n", "h", "pad"), donate_argnums=())
+def band_dense_from_band_strip(ab, n: int, h: int, pad: int):
+    """Padded dense band workspace ``[n+pad, n+pad]`` (both triangles)
+    from the ``[h+1, n]`` lower strip, built by a chunked-row gather
+    scan.  Peak = output + the strip + ~0.3 GB of chunk temps — vs
+    ``band_dense_from_reduction``'s mat_hh + output (9.2 GB at 32k,
+    the ONLY pipeline stage above the 8.6 GB input-build floor)."""
+    dt = ab.dtype
+    Np = n + pad
+    out = jnp.zeros((Np, Np), dt)
+    flat = ab.reshape(-1)                       # lin = d * n + j
+    R = min(2048, n)
+    nch = -(-n // R)
+
+    def body(c, out):
+        r0 = jnp.minimum(c * R, n - R)          # overlap-safe (values
+        i = r0 + lax.broadcasted_iota(jnp.int32, (R, Np), 0)
+        j = lax.broadcasted_iota(jnp.int32, (R, Np), 1)
+        d = jnp.abs(i - j)
+        ok = (d <= h) & (j < n)
+        lin = jnp.where(ok, d * n + jnp.minimum(i, j), 0)
+        vals = jnp.take(flat, lin.reshape(-1),
+                        unique_indices=False).reshape(R, Np)
+        vals = jnp.where(ok, vals, jnp.zeros((), dt))
+        return lax.dynamic_update_slice(out, vals, (r0, 0))
+
+    return lax.fori_loop(0, nch, body, out)
+
+
 @partial(jax.jit, static_argnames=("band", "pad"))
 def band_dense_from_reduction(mat_hh, band: int, pad: int = 0):
     """``reduction_to_band`` output (DistMatrix) -> dense band matrix.

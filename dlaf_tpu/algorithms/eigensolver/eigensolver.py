@@ -173,14 +173,35 @@ def hermitian_eigensolver(
     use_hh = b2t_algo != "givens"
     sbr_res = None
     if use_sbr:
-        from .band_reduction import (band_dense_from_reduction,
+        from .band_reduction import (_band_strip_from_storage,
+                                     band_dense_from_band_strip,
+                                     band_dense_from_reduction,
                                      band_to_band, extract_band_dense)
-        dense = replicate(band_dense_from_reduction(mat_hh, red_band,
-                                                    pad=2 * red_band + band))
-        if use_hh and col_shard is None:
+        lean_dense = (jax.process_count() == 1 and col_shard is None
+                      and use_hh
+                      and mat_hh.dist.grid_size == (1, 1))
+        if lean_dense:
+            # strip-first order caps the stage at ~Ap + n^2/2: extract
+            # the [b1+1, n] band strip (one gather off the identity
+            # storage layout), PACK (donating the n^2 mat_hh), then
+            # build the padded dense from the strip — the direct
+            # mat_hh->dense build holds mat_hh + Ap (9.2 GB at 32k),
+            # the only stage above the 8.6 GB input-build floor
+            ab1 = _band_strip_from_storage(
+                mat_hh.data, red_band, mat_hh.dist.padded_size[1], n)
             from .bt_reduction_to_band import pack_hh_panels
             mat_hh = pack_hh_panels(mat_hh, red_band, donate=True)
             mark("pack_hh_panels")
+            dense = band_dense_from_band_strip(
+                ab1, n, red_band, pad=2 * red_band + band)
+            ab1 = None
+        else:
+            dense = replicate(band_dense_from_reduction(
+                mat_hh, red_band, pad=2 * red_band + band))
+            if use_hh and col_shard is None:
+                from .bt_reduction_to_band import pack_hh_panels
+                mat_hh = pack_hh_panels(mat_hh, red_band, donate=True)
+                mark("pack_hh_panels")
         # unpad=False: the band is read straight off the padded stage-2
         # workspace — the unpad slice cannot alias (shape change) and
         # held padded + dense concurrently (8.9 GB at n = 32768)

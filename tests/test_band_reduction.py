@@ -183,3 +183,28 @@ def test_unpadded_return_matches_band_extraction():
     ab1 = np.asarray(extract_band_dense(np.asarray(Ared), g))
     ab2 = np.asarray(extract_band_dense(Ap, g, n=n))
     np.testing.assert_allclose(ab2, ab1, atol=0)
+
+
+def test_driver_lean_dense_route():
+    """SBR on a 1x1 grid takes the strip-first lean dense build
+    (pack-then-build ordering); residual must match the normal route."""
+    import jax.numpy as jnp
+
+    from dlaf_tpu import DistMatrix, hermitian_eigensolver
+    from dlaf_tpu.matrix import util as mu
+    from dlaf_tpu.tune import set_tune_parameters
+
+    n = 96
+    h = mu.random_hermitian(n, np.float64, seed=5)
+    m = DistMatrix.from_natural(jnp.asarray(h), 16)
+    set_tune_parameters(eigensolver_sbr_band=32)
+    try:
+        lam, v = hermitian_eigensolver(m, band_size=8, leaf_size=16)
+    finally:
+        set_tune_parameters(eigensolver_sbr_band=0)
+    vn = np.asarray(v.to_natural())
+    lam = np.asarray(lam)
+    r = np.linalg.norm(h @ vn - vn * lam[None, :]) / np.linalg.norm(h)
+    assert r < 1e-10
+    np.testing.assert_allclose(np.sort(lam), np.linalg.eigvalsh(h),
+                               atol=1e-10)
