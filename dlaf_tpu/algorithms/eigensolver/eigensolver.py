@@ -162,9 +162,12 @@ def hermitian_eigensolver(
                     if (jax.default_backend() not in ("cpu",)
                         and n <= int(tp.wavefront_max_n)) else "hh")
         p4min = int(tp.pallas4_min_n)
-        if b2t_algo == "wavefront" and p4min > 0 and n >= p4min:
+        if (b2t_algo == "wavefront" and p4min > 0 and n >= p4min
+                and band <= 256):
             # batched-slot Mosaic kernel: wins once the wavefront width
-            # is large (see tune.pallas4_min_n for the measured model)
+            # is large (see tune.pallas4_min_n for the measured model).
+            # band <= 256 keeps the [G*4b, 3b] VMEM slab under ~25 MB;
+            # at band >= 512 it exceeds the 100 MB kernel budget
             b2t_algo = "pallas4"
     use_wavefront = (b2t_algo in ("wavefront", "pallas", "pallas4")
                      and not np.issubdtype(np.dtype(adtype),
