@@ -240,8 +240,8 @@ def bt_hh_window_stream(res: HHChaseResult, g: int | None = None):
         if widx.shape[0] == 0:
             return res.resolve_V()
         idx = res.V_raw_map[np.maximum(widx, 0)]
-        out = gather_raw_rows(res.V_raw, idx)
-        res.V_raw = res.V_raw_map = None    # donated
+        out = gather_raw_rows(res.V_raw, idx, sel=res.V_raw_sel)
+        res.V_raw = res.V_raw_map = res.V_raw_sel = None    # donated
         return out
     res.resolve_V()
     if res.V.shape[0] == 0 or n <= 2 or b <= 1:

@@ -123,6 +123,11 @@ class HHChaseResult:
     #: ``bt_hh_window_stream`` gathers straight to window order
     V_raw: object | None = None
     V_raw_map: object | None = None
+    #: when the raw segments were COMPACTED to real rows (padding slots
+    #: dropped: 4.33 -> 2.15 GB retained at n = 32768), the ascending
+    #: host array of real raw indices; raw index -> compact position is
+    #: ``searchsorted(V_raw_sel, idx)`` (wavefront_chase.gather_raw_rows)
+    V_raw_sel: object | None = None
 
     def resolve_V(self):
         """Join a pending background reflector-stream upload / compact a
@@ -136,8 +141,9 @@ class HHChaseResult:
             self.v_resolve = None
         if self.V is None and self.V_raw is not None:
             from .wavefront_chase import gather_raw_rows
-            self.V = gather_raw_rows(self.V_raw, self.V_raw_map)
-            self.V_raw = self.V_raw_map = None
+            self.V = gather_raw_rows(self.V_raw, self.V_raw_map,
+                                     sel=self.V_raw_sel)
+            self.V_raw = self.V_raw_map = self.V_raw_sel = None
         if self.V is None:
             raise RuntimeError(
                 "reflector stream already consumed (donated into "

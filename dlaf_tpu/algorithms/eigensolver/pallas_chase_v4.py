@@ -627,14 +627,26 @@ def pallas_band_to_tridiagonal_v4(ab, band: int,
     niter = max(1, cap // per_iter)
     nseg = -(-nsweeps // niter) if nsweeps else 1
     niter = -(-nsweeps // nseg) if nsweeps else 1
+    # compact each segment to its real reflector rows right away
+    # (padding slots drop the retained stream 4.33 -> 2.15 GB at 32k;
+    # same contract as the wavefront's compact segments)
+    from .wavefront_chase import _compact_seg_jit
+    rows = niter * 3 * W
+    sel = np.sort(_raw_index_map(n, b).astype(np.int64))
     segs = []
     for it0 in range(0, nsweeps, niter):
         T, vbuf, taubuf, ys = _chase_call_v4(T, vbuf, taubuf, it0,
                                              n=n, b=b, niter=niter,
                                              interpret=interpret)
-        segs.append(_seg_transpose(ys, niter=niter, W=W, b=b))
+        k = it0 // niter
+        lo = np.searchsorted(sel, k * rows)
+        hi = np.searchsorted(sel, (k + 1) * rows)
+        rel = jnp.asarray((sel[lo:hi] - k * rows).astype(np.int32))
+        segs.append(_compact_seg_jit(
+            _seg_transpose(ys, niter=niter, W=W, b=b), rel))
     d, e = t_diagonals(T, n=n, b=b)
     d = np.asarray(np.asarray(d), np.float64)
     e = np.asarray(np.asarray(e), np.float64)
     return HHChaseResult(d, e, None, n, b, None,
-                         V_raw=segs, V_raw_map=_raw_index_map(n, b))
+                         V_raw=segs, V_raw_map=_raw_index_map(n, b),
+                         V_raw_sel=sel)

@@ -312,19 +312,37 @@ def _segment_iters(n: int, b: int, itemsize: int) -> int:
 
 def _wavefront_scan(flat, n: int, b: int):
     """Run the whole chase as donated segment jits; returns
-    ``(flat_out, [ys segments], rows_per_segment)``."""
+    ``(flat_out, [compact ys segments], rows_per_segment, sel)``.
+
+    Each raw segment is compacted to its REAL reflector rows right
+    after it is produced (the padded [niter*3*W, b] layout carries
+    inactive-slot rows: 4.33 GB raw vs 2.15 GB real at n = 32768 —
+    the difference between the chase/D&C stages fitting next to
+    co-tenants or not).  ``sel`` is the ascending global real-raw-index
+    array; raw -> compact position = searchsorted(sel, idx)."""
     dt = flat.dtype
     W = _wavefront_width(n, b)
     nsweeps = max(n - 2, 0)
     niter = _segment_iters(n, b, np.dtype(dt).itemsize)
+    rows = niter * 3 * W
+    sel = np.sort(_raw_index_map(n, b).astype(np.int64))
     v = jnp.zeros((W, b), dt)
     tau = jnp.zeros((W,), dt)
     segs = []
     for it0 in range(0, max(nsweeps, 1), niter):
         flat, v, tau, ys = _wavefront_scan_seg(
             flat, v, tau, jnp.int32(it0), n=n, b=b, niter=niter)
-        segs.append(ys)
-    return flat, segs, niter * 3 * W
+        k = it0 // niter
+        lo = np.searchsorted(sel, k * rows)
+        hi = np.searchsorted(sel, (k + 1) * rows)
+        rel = jnp.asarray((sel[lo:hi] - k * rows).astype(np.int32))
+        segs.append(_compact_seg_jit(ys, rel))
+    return flat, segs, rows, sel
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _compact_seg_jit(seg, rel):
+    return jnp.take(seg, rel, axis=0)
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
@@ -337,16 +355,32 @@ def _gather_seg_jit(out, seg, loc):
     return jnp.where(ok[:, None], part, out)
 
 
-def gather_raw_rows(segs, idx: np.ndarray):
+def gather_raw_rows(segs, idx: np.ndarray, sel=None):
     """Gather rows ``idx`` (global raw-stream indices) from the segmented
-    emission-order stream; consumes (donates) every segment."""
+    emission-order stream; consumes (donates) every segment.
+
+    ``sel`` (ascending host array of real raw indices): the segments are
+    COMPACT — segment ``k`` holds, in order, the real rows whose raw
+    index falls in ``[k*rows, (k+1)*rows)``; compact positions come from
+    ``searchsorted``.  Without ``sel`` the segments are the dense padded
+    layout (equal rows per segment)."""
     b = segs[0].shape[1]
-    seg_rows = segs[0].shape[0]
     flat_idx = np.asarray(idx, np.int64).reshape(-1)
     out = jnp.zeros((flat_idx.shape[0], b), segs[0].dtype)
-    for k, seg in enumerate(segs):
-        loc = jnp.asarray((flat_idx - k * seg_rows).astype(np.int32))
-        out = _gather_seg_jit(out, seg, loc)
+    if sel is not None:
+        pos = np.searchsorted(sel, flat_idx)
+        lo = 0
+        for seg in segs:
+            hi = lo + seg.shape[0]
+            loc_np = np.where((pos >= lo) & (pos < hi), pos - lo, -1)
+            out = _gather_seg_jit(out, seg,
+                                  jnp.asarray(loc_np.astype(np.int32)))
+            lo = hi
+    else:
+        seg_rows = segs[0].shape[0]
+        for k, seg in enumerate(segs):
+            loc = jnp.asarray((flat_idx - k * seg_rows).astype(np.int32))
+            out = _gather_seg_jit(out, seg, loc)
     segs.clear()
     return out.reshape(tuple(np.shape(idx)) + (b,))
 
@@ -403,9 +437,10 @@ def wavefront_band_to_tridiagonal(ab, band: int) -> HHChaseResult:
         return HHChaseResult(d, e, jnp.zeros((R, max(band, 1)), ab.dtype),
                              n, band, None)
     flat = _band_layout(jnp.asarray(ab), n, band)
-    flat_out, segs, _ = _wavefront_scan(flat, n, band)
+    flat_out, segs, _, sel = _wavefront_scan(flat, n, band)
     de = np.asarray(flat_out[:n, :2])       # one small fetch
     d = np.asarray(de[:, 0], np.float64)
     e = np.asarray(de[: n - 1, 1], np.float64)
     return HHChaseResult(d, e, None, n, band, None,
-                         V_raw=segs, V_raw_map=_raw_index_map(n, band))
+                         V_raw=segs, V_raw_map=_raw_index_map(n, band),
+                         V_raw_sel=sel)
