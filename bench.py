@@ -168,7 +168,9 @@ def main():
                     set_tune_parameters(dc_stage_bytes=512 << 20,
                                         dc_lean_bytes=512 << 20,
                                         dc_lean_rowblock=2048,
-                                        bt_group_size=128)
+                                        bt_group_size=128,
+                                        bt_r2b_chunk_cols=1024,
+                                        bt_r2b_group_size=2)
                 nbh = 2048 if nh >= 16384 else 1024
                 # warmup absorbs compile/program-load queue noise (a cold
                 # n=8192 run measured 93.75 s vs 5.7 s warm)

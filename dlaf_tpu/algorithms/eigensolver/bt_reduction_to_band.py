@@ -50,10 +50,12 @@ def bt_reduction_to_band(band_size: int, mat_e, mat_hh: DistMatrix, taus,
         E = jnp.asarray(mat_e)
         if E.dtype != mat_hh.data.dtype:
             E = E.astype(mat_hh.data.dtype)
-        grp = max(int(get_tune_parameters().bt_r2b_group_size), 1)
+        tp = get_tune_parameters()
+        grp = max(int(tp.bt_r2b_group_size), 1)
+        cc = max(int(tp.bt_r2b_chunk_cols), 128)
         return _bt_r2b_inplace_packed(E, mat_hh.data, taus,
                                       band_size=band_size, n=mat_hh.n,
-                                      group=grp)
+                                      group=grp, chunk_cols=cc)
     if donate and not isinstance(mat_e, DistMatrix) and e_sharding is None:
         E = jnp.asarray(mat_e)
         nat_hh_dtype = mat_hh.dtype
@@ -139,10 +141,11 @@ _pack_jit_donated = partial(jax.jit, static_argnames=("band_size",),
                             donate_argnums=(0,))(_pack_impl)
 
 
-@partial(jax.jit, static_argnames=("band_size", "n", "group"),
+@partial(jax.jit, static_argnames=("band_size", "n", "group",
+                                   "chunk_cols"),
          donate_argnums=(0,))
 def _bt_r2b_inplace_packed(E, P, taus, band_size: int, n: int,
-                           group: int = 4):
+                           group: int = 4, chunk_cols: int = 2048):
     """In-place WY back-transform reading packed reflector panels."""
     b = band_size
     n_panels = max(_cdiv(n, b) - 1, 0)
@@ -152,7 +155,7 @@ def _bt_r2b_inplace_packed(E, P, taus, band_size: int, n: int,
         return E
 
     buckets, _ = _panel_buckets(n, b)
-    Cc = min(2048, nc)
+    Cc = min(chunk_cols, nc)
     nfull, tail = nc // Cc, nc % Cc
 
     for (k_lo, k_hi, pmp, base) in buckets:

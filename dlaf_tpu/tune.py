@@ -65,6 +65,10 @@ class TuneParameters:
     #: contraction depth = group * band; quads measured 1.68x over
     #: singles at n = 16384 b = 128).
     bt_r2b_group_size: int = _env("DLAF_BT_R2B_GROUP_SIZE", 4, int)
+    #: WY-update column-chunk width in the in-place BT-R2B (temps scale
+    #: with it: Es/X chunks are [<=n, chunk]).  Lower it (1024) to shave
+    #: ~0.5 GB off the 8.3 GB n=32768 stage peak next to co-tenants.
+    bt_r2b_chunk_cols: int = _env("DLAF_BT_R2B_CHUNK_COLS", 2048, int)
     #: band->tridiag algorithm: "auto" (DEFAULT: on an accelerator
     #: backend the on-device wavefront chase up to ``wavefront_max_n``
     #: — measured wins: n=8192 HEEV 4.1 vs 5.7 s, n=16384 23.2 vs

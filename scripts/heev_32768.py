@@ -31,7 +31,8 @@ def main():
     # co-tenant HBM pressure on the shared worker (defaults peak ~10.5)
     set_tune_parameters(trace_eigensolver_stages=True, bt_group_size=128,
                         dc_stage_bytes=512 << 20, dc_lean_bytes=512 << 20,
-                        dc_lean_rowblock=2048)
+                        dc_lean_rowblock=2048, bt_r2b_chunk_cols=1024,
+                        bt_r2b_group_size=2)
     sbr = int(os.environ.get("HEEV32K_SBR", "0"))
     if sbr:
         set_tune_parameters(eigensolver_sbr_band=sbr)
