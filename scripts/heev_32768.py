@@ -66,6 +66,14 @@ def main():
         import gc
         for trial in range(3):
             try:
+                if trial == 2 and sbr:
+                    # last resort: the SBR stage-2 workspace (Ap 4.88 +
+                    # packed 2.15 + scan temps ~ 9.5 GB at b1=1024) is
+                    # the peak that keeps OOMing next to co-tenants;
+                    # the one-stage path peaks ~8 GB and its warm red
+                    # is only ~5 s slower at 32k
+                    set_tune_parameters(eigensolver_sbr_band=band)
+                    print("warm trial 2: one-stage fallback", flush=True)
                 holder = [mu.random_hermitian_dist(n, nb,
                                                    dtype=np.float32,
                                                    seed=12 + trial)]
