@@ -175,7 +175,26 @@ def main():
                 # warmup absorbs compile/program-load queue noise (a cold
                 # n=8192 run measured 93.75 s vs 5.7 s warm)
                 run_heev(nh, nbh)
-                nruns = [run_heev(nh, nbh) for _ in range(2)]
+                # collect runs one at a time: a co-tenant OOM after the
+                # first timed run must not discard it.  On an OOM at the
+                # big size, drop to the one-stage reduction (peaks ~8 GB
+                # vs the SBR stage-2 workspace's ~9.5 at b1=1024)
+                nruns = []
+                for r in range(2):
+                    try:
+                        nruns.append(run_heev(nh, nbh))
+                    except Exception as exc:      # noqa: BLE001
+                        print(f"HEEV timed run {r} failed: "
+                              f"{str(exc).splitlines()[0][:200]}",
+                              file=sys.stderr)
+                        gc.collect()
+                        time.sleep(60)
+                        if nh >= 24576:
+                            set_tune_parameters(
+                                eigensolver_sbr_band=128)
+                            nruns.append(run_heev(nh, nbh))
+                if not nruns:
+                    raise RuntimeError("no timed HEEV run survived")
                 if min(t for t, _ in nruns) > 1.8 * floors[nh]:
                     print("HEEV best run above 1.8x floor; one more try",
                           file=sys.stderr)
