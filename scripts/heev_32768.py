@@ -66,7 +66,7 @@ def main():
         import gc
         for trial in range(3):
             try:
-                if trial == 2 and sbr:
+                if trial >= 1 and sbr:
                     # last resort: the SBR stage-2 workspace (Ap 4.88 +
                     # packed 2.15 + scan temps ~ 9.5 GB at b1=1024) is
                     # the peak that keeps OOMing next to co-tenants;
