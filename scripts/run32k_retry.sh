@@ -7,7 +7,7 @@
 cd "$(dirname "$0")/.."
 for i in $(seq 1 60); do
   echo "=== attempt $i $(date) ==="
-  if [ "$i" -le 6 ]; then CANARY_GB=2; else CANARY_GB=1; fi
+  CANARY_GB=1
   timeout 1200 env CANARY_GB=$CANARY_GB python - <<'PY'
 import os
 import jax, jax.numpy as jnp
