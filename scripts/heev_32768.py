@@ -64,6 +64,7 @@ def main():
         # already banked by this point, so retry the warm one in-process
         # (each pass rebuilds the input; gc drops the dead transients)
         import gc
+        warm_ok = False
         for trial in range(3):
             try:
                 if trial >= 1 and sbr:
@@ -86,6 +87,7 @@ def main():
                 t3 = time.time()
                 print(f"HEEV n={n} wall {t3 - t2:.1f}s "
                       f"(WARM, in-process)", flush=True)
+                warm_ok = True
                 break
             except Exception as exc:              # noqa: BLE001
                 print(f"warm trial {trial} failed: "
@@ -93,6 +95,11 @@ def main():
                 del exc
                 gc.collect()
                 time.sleep(120)
+        if not warm_ok:
+            # cold numbers are banked in the log; a nonzero exit keeps
+            # the retry loop cycling until a WARM solve lands
+            print("no warm solve landed; exiting 3", flush=True)
+            raise SystemExit(3)
 
     if os.environ.get("HEEV32K_SKIP_PROBE"):
         # the probe fetches the full 4.3 GB eigenvector matrix through
