@@ -65,6 +65,13 @@ def main():
         # (each pass rebuilds the input; gc drops the dead transients)
         import gc
         warm_ok = False
+        gc.collect()
+        # axon relays deallocations asynchronously: give the server a
+        # moment to actually release the 4.3 GB eigenvector buffer
+        # before the warm input build asks for the same space (every
+        # warm trial 0 was failing at the INPUT BUILD right after a
+        # successful cold solve — no [stage] line ever printed)
+        time.sleep(8)
         for trial in range(3):
             try:
                 if trial >= 1 and sbr:
